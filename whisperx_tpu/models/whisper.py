@@ -1,0 +1,295 @@
+"""Whisper encoder-decoder in Flax, designed for jit'd batched decode on TPU.
+
+Replaces the reference's CTranslate2 C++ engine (whisperx/asr.py:25-86) with
+an XLA-native model. TPU-first choices:
+
+- All shapes are static: the encoder always sees (B, n_mels, 3000); the
+  decoder's KV cache is a fixed (B, n_text_ctx, ...) buffer addressed with a
+  position index, so greedy/beam loops compile once.
+- The KV cache is a *value* (pytree) threaded through ``decode_step``, not
+  Flax mutable state — it can be a ``lax.while_loop`` carry and a pjit-sharded
+  array like any other.
+- Cross-attention K/V are precomputed once per segment (``init_cache``), so
+  each decode step is pure MXU matmuls against resident buffers.
+- Attention scale is split as ``d_k**-0.25`` on both q and k for bf16 range
+  safety; softmax runs in fp32.
+- Parameter names form a stable tree addressed by the partition rules in
+  ``whisperx_tpu.parallel.partition`` (heads/MLP sharded on the "model" axis).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import WhisperConfig
+
+Array = jax.Array
+Cache = Any  # nested dict of arrays
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Sinusoidal position signal for the audio encoder (fixed, not learned)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(np.float32)
+
+
+class MultiHeadAttention(nn.Module):
+    """Attention with optional static KV cache and precomputed cross K/V."""
+
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,  # (B, T_q, D)
+        kv_source: Optional[Array] = None,  # cross-attn source (B, T_kv, D)
+        *,
+        mask: Optional[Array] = None,  # (T_q, T_kv) additive mask
+        cache: Optional[dict] = None,  # {"k","v"} (B, T_cache, H, Dh) + index
+        cache_index: Optional[Array] = None,
+        precomputed_kv: Optional[tuple] = None,  # cross-attn (k, v)
+    ):
+        d_model = x.shape[-1]
+        head_dim = d_model // self.n_head
+        scale = head_dim**-0.25
+
+        def split(h):  # (B, T, D) -> (B, T, H, Dh)
+            return h.reshape(h.shape[0], h.shape[1], self.n_head, head_dim)
+
+        q = split(nn.Dense(d_model, dtype=self.dtype, name="query")(x)) * scale
+
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            src = x if kv_source is None else kv_source
+            k = split(nn.Dense(d_model, use_bias=False, dtype=self.dtype, name="key")(src))
+            v = split(nn.Dense(d_model, dtype=self.dtype, name="value")(src))
+
+        new_cache = None
+        if cache is not None:
+            # Scatter this step's K/V into the static ring buffer.
+            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            new_cache = {"k": k, "v": v}
+
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k.astype(q.dtype) * scale, preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            logits = logits + mask
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(self.dtype))
+        out = out.reshape(x.shape[0], x.shape[1], d_model)
+        out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
+        return out, new_cache
+
+    def compute_kv(self, src: Array) -> tuple:
+        """Project cross-attention K/V once per audio segment (init_cache)."""
+        d_model = src.shape[-1]
+        head_dim = d_model // self.n_head
+
+        def split(h):
+            return h.reshape(h.shape[0], h.shape[1], self.n_head, head_dim)
+
+        k = split(nn.Dense(d_model, use_bias=False, dtype=self.dtype, name="key")(src))
+        v = split(nn.Dense(d_model, dtype=self.dtype, name="value")(src))
+        return k, v
+
+
+class MLP(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d = x.shape[-1]
+        h = nn.Dense(4 * d, dtype=self.dtype, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+
+
+class EncoderBlock(nn.Module):
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h, _ = MultiHeadAttention(self.n_head, dtype=self.dtype, name="attn")(
+            nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x)
+        )
+        x = x + h
+        x = x + MLP(dtype=self.dtype, name="mlp")(nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x))
+        return x
+
+
+class AudioEncoder(nn.Module):
+    config: WhisperConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: Array) -> Array:
+        """(B, n_mels, 3000) log-mel → (B, 1500, D) audio states."""
+        cfg = self.config
+        x = mel.astype(self.dtype).transpose(0, 2, 1)  # (B, T, n_mels): conv over time
+        x = nn.Conv(cfg.n_audio_state, kernel_size=(3,), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            cfg.n_audio_state, kernel_size=(3,), strides=(2,), padding=1, dtype=self.dtype, name="conv2"
+        )(x)
+        x = nn.gelu(x, approximate=False)
+
+        pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state), dtype=self.dtype)
+        x = x + pos[None, : x.shape[1]]
+
+        for i in range(cfg.n_audio_layer):
+            x = EncoderBlock(cfg.n_audio_head, dtype=self.dtype, name=f"layers_{i}")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(self.dtype)
+
+
+class DecoderBlock(nn.Module):
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, self_cache, cache_index, cross_kv, self_mask):
+        h, new_self_cache = MultiHeadAttention(self.n_head, dtype=self.dtype, name="attn")(
+            nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x),
+            mask=self_mask,
+            cache=self_cache,
+            cache_index=cache_index,
+        )
+        x = x + h
+        h, _ = MultiHeadAttention(self.n_head, dtype=self.dtype, name="cross_attn")(
+            nn.LayerNorm(dtype=jnp.float32, name="cross_attn_ln")(x),
+            precomputed_kv=cross_kv,
+        )
+        x = x + h
+        x = x + MLP(dtype=self.dtype, name="mlp")(nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x))
+        return x, new_self_cache
+
+    def compute_cross_kv(self, audio_states):
+        return MultiHeadAttention(self.n_head, dtype=self.dtype, name="cross_attn").compute_kv(
+            audio_states
+        )
+
+
+class TextDecoder(nn.Module):
+    config: WhisperConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: Array, cache: Cache, cache_index: Array):
+        """Decode `tokens` (B, T) starting at absolute position `cache_index`.
+
+        Works for both prompt ingestion (T = prompt length) and stepping
+        (T = 1). Returns (logits (B, T, V) fp32, updated cache).
+        """
+        cfg = self.config
+        B, T = tokens.shape
+        embed = self.param(
+            "token_embedding",
+            nn.initializers.normal(cfg.n_text_state**-0.5),
+            (cfg.n_vocab, cfg.n_text_state),
+            jnp.float32,
+        )
+        pos_embed = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.n_text_ctx, cfg.n_text_state),
+            jnp.float32,
+        )
+        x = embed.astype(self.dtype)[tokens]
+        x = x + jax.lax.dynamic_slice(
+            pos_embed.astype(self.dtype), (cache_index, 0), (T, cfg.n_text_state)
+        )
+
+        # Causal mask against the static cache: position cache_index + t may
+        # attend to cache slots [0, cache_index + t].
+        q_pos = cache_index + jnp.arange(T)[:, None]
+        k_pos = jnp.arange(cfg.n_text_ctx)[None, :]
+        self_mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+        new_cache = {"self": [], "cross": cache["cross"]}
+        for i in range(cfg.n_text_layer):
+            x, new_self = DecoderBlock(cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}")(
+                x,
+                self_cache=cache["self"][i],
+                cache_index=cache_index,
+                cross_kv=cache["cross"][i],
+                self_mask=self_mask,
+            )
+            new_cache["self"].append(new_self)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        logits = jnp.einsum(
+            "btd,vd->btv", x.astype(self.dtype), embed.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return logits.astype(jnp.float32), new_cache
+
+    def compute_cross_kv(self, audio_states: Array):
+        cfg = self.config
+        return [
+            DecoderBlock(cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}").compute_cross_kv(
+                audio_states
+            )
+            for i in range(cfg.n_text_layer)
+        ]
+
+
+class Whisper(nn.Module):
+    """Top-level module bundling encoder + decoder under one param tree."""
+
+    config: WhisperConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.config, dtype=self.dtype)
+        self.decoder = TextDecoder(self.config, dtype=self.dtype)
+
+    def __call__(self, mel: Array, tokens: Array):
+        """Teacher-forced forward pass (training / graft entry compile check)."""
+        audio_states = self.encoder(mel)
+        cache = self.empty_cache(tokens.shape[0])
+        cache["cross"] = self.decoder.compute_cross_kv(audio_states)
+        logits, _ = self.decoder(tokens, cache, jnp.int32(0))
+        return logits
+
+    def encode(self, mel: Array) -> Array:
+        return self.encoder(mel)
+
+    def decode_step(self, tokens: Array, cache: Cache, cache_index: Array):
+        return self.decoder(tokens, cache, cache_index)
+
+    def compute_cross_kv(self, audio_states: Array):
+        return self.decoder.compute_cross_kv(audio_states)
+
+    def empty_cache(self, batch: int, cache_dtype: Any = None) -> Cache:
+        cfg = self.config
+        dt = cache_dtype or self.dtype
+        head_dim = cfg.n_text_state // cfg.n_text_head
+        shape = (batch, cfg.n_text_ctx, cfg.n_text_head, head_dim)
+        return {
+            "self": [
+                {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+                for _ in range(cfg.n_text_layer)
+            ],
+            "cross": [None] * cfg.n_text_layer,
+        }
+
+
+def init_whisper_params(config: WhisperConfig, seed: int = 0, dtype=jnp.float32):
+    """Random-initialized parameter tree (tests / benchmarks without weights)."""
+    model = Whisper(config, dtype=dtype)
+    mel = jnp.zeros((1, config.n_mels, 2 * config.n_audio_ctx), dtype)
+    tokens = jnp.zeros((1, 1), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), mel, tokens)["params"]
+    return model, params
