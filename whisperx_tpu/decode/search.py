@@ -1,0 +1,256 @@
+"""Batched greedy and beam-search decoding, fully jit-compiled.
+
+This replaces CTranslate2's dynamic C++ beam-search loop (the hottest path in
+the reference, whisperx/asr.py:53-62) with fixed-shape XLA programs:
+
+- One compile per (batch, prompt-length, beam) signature; the step loop is a
+  ``lax.while_loop`` whose carry holds the token buffer, KV cache, beam
+  scores, and finished-hypothesis buffers — all static shapes.
+- Beam state lives as a flattened ``B*K`` leading axis so cache reindexing is
+  one gather and the model's batched matmuls stay large for the MXU. Under a
+  mesh, that axis is sharded on "data" and the gather stays local because
+  beams of one batch element are co-located.
+- The alive/finished bookkeeping follows the standard fixed-shape beam
+  formulation: take top-2K candidates each step so EOT picks cannot starve
+  the K alive lanes; finished hypotheses merge into a top-K buffer ranked by
+  GNMT length-penalized score; ``patience`` scales how many finished
+  candidates must accumulate before early exit (CT2 semantics).
+
+Logit filters (token suppression, blank suppression at step 0) are baked into
+a static mask at trace time — a (V,) add is one fused VPU op.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+@dataclass(frozen=True)
+class SearchOptions:
+    """Static decode configuration (part of the jit cache key)."""
+
+    beam_size: int = 5
+    patience: float = 1.0
+    length_penalty: float = 1.0
+    max_new_tokens: int = 224
+    temperature: float = 0.0
+    suppress_tokens: tuple[int, ...] = ()
+    suppress_blank: bool = True
+    blank_tokens: tuple[int, ...] = ()  # token ids of " " (suppressed at step 0)
+    eot: int = 50257
+    # Tokens that may never be produced (timestamps in no-timestamp mode etc.)
+    banned_tokens: tuple[int, ...] = ()
+
+
+def _static_suppress_mask(n_vocab: int, opts: SearchOptions) -> np.ndarray:
+    mask = np.zeros((n_vocab,), np.float32)
+    for t in opts.suppress_tokens:
+        if 0 <= t < n_vocab:
+            mask[t] = NEG_INF
+    for t in opts.banned_tokens:
+        if 0 <= t < n_vocab:
+            mask[t] = NEG_INF
+    return mask
+
+
+def _first_step_mask(n_vocab: int, opts: SearchOptions) -> np.ndarray:
+    mask = np.zeros((n_vocab,), np.float32)
+    if opts.suppress_blank:
+        for t in (*opts.blank_tokens, opts.eot):
+            if 0 <= t < n_vocab:
+                mask[t] = NEG_INF
+    return mask
+
+
+def length_penalized(score, length, alpha: float):
+    """GNMT length normalization: score / ((5+L)/6)^alpha (CT2 convention)."""
+    return score / (((5.0 + length) / 6.0) ** alpha)
+
+
+def greedy_decode(
+    step_fn: Callable,
+    init_logits: jax.Array,  # (B, V) logits after the prompt
+    init_cache,
+    prompt_len: int,
+    opts: SearchOptions,
+    rng: Optional[jax.Array] = None,
+):
+    """Batched greedy/sampling decode.
+
+    step_fn(tokens (B,1) int32, cache, pos int32) -> (logits (B,1,V), cache).
+    Returns (tokens (B, max_new_tokens), sum_logprobs (B,), lengths (B,)).
+    Token buffers are padded with EOT after finish.
+    """
+    B, V = init_logits.shape
+    max_new = opts.max_new_tokens
+    suppress = jnp.asarray(_static_suppress_mask(V, opts))
+    first_mask = jnp.asarray(_first_step_mask(V, opts))
+    sample = opts.temperature > 0
+    if sample and rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def pick(logits, step, key):
+        logits = logits + suppress
+        logits = jnp.where(step == 0, logits + first_mask, logits)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        if sample:
+            tok = jax.random.categorical(key, logits / opts.temperature, axis=-1)
+        else:
+            tok = jnp.argmax(logits, axis=-1)
+        return tok.astype(jnp.int32), jnp.take_along_axis(logprobs, tok[:, None], axis=-1)[:, 0]
+
+    def cond(state):
+        step, _, _, finished, _, _, _ = state
+        return (step < max_new) & ~jnp.all(finished)
+
+    def body(state):
+        step, logits, cache, finished, tokens, sum_lp, key = state
+        key, sub = (jax.random.split(key) if sample else (key, key))
+        tok, lp = pick(logits, step, sub)
+        tok = jnp.where(finished, opts.eot, tok)
+        sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
+        tokens = tokens.at[:, step].set(tok)
+        now_finished = finished | (tok == opts.eot)
+        new_logits, cache = step_fn(tok[:, None], cache, prompt_len + step)
+        return step + 1, new_logits[:, -1], cache, now_finished, tokens, sum_lp, key
+
+    key0 = rng if sample else jnp.zeros((2,), jnp.uint32)
+    state = (
+        jnp.int32(0),
+        init_logits,
+        init_cache,
+        jnp.zeros((B,), bool),
+        jnp.full((B, max_new), opts.eot, jnp.int32),
+        jnp.zeros((B,), jnp.float32),
+        key0,
+    )
+    _, _, _, _, tokens, sum_lp, _ = jax.lax.while_loop(cond, body, state)
+    lengths = jnp.sum(tokens != opts.eot, axis=1) + 1  # +1 for the EOT itself
+    return tokens, sum_lp, lengths
+
+
+def _gather_cache(cache, flat_idx):
+    """Reorder every (B*K, ...) array in the cache pytree by beam indices."""
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), cache)
+
+
+def beam_decode(
+    step_fn: Callable,
+    init_logits: jax.Array,  # (B, V) logits after the prompt (pre-expansion)
+    expanded_cache,  # cache with leading dim B*K (prompt replicated per beam)
+    prompt_len: int,
+    opts: SearchOptions,
+):
+    """Fixed-shape batched beam search.
+
+    Returns (tokens (B, max_new), sum_logprobs (B,), lengths (B,)) for the
+    best hypothesis per batch element (finished preferred, ranked by the GNMT
+    length-penalized cumulative logprob).
+    """
+    B, V = init_logits.shape
+    K = opts.beam_size
+    max_new = opts.max_new_tokens
+    target_finished = max(K, int(round(K * opts.patience)))
+    suppress = jnp.asarray(_static_suppress_mask(V, opts))
+    first_mask = jnp.asarray(_first_step_mask(V, opts))
+
+    # Alive state: (B, K). Beam 0 starts live, others at -inf so the first
+    # expansion draws K distinct tokens from the single prompt distribution.
+    alive_scores0 = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1))
+
+    logprobs0 = jax.nn.log_softmax(init_logits + suppress + first_mask, axis=-1)
+    logits0 = jnp.tile(logprobs0[:, None, :], (1, K, 1))  # (B, K, V)
+
+    def cond(state):
+        step, _, _, _, _, fin_scores, fin_count, alive_scores, _ = state
+        can_continue = step < max_new
+        # Early exit: enough finished and no alive beam can beat the worst
+        # kept finished hypothesis even with a perfect (0 logprob) future.
+        best_alive = length_penalized(jnp.max(alive_scores, axis=1), step + max_new, opts.length_penalty)
+        worst_fin = jnp.min(fin_scores, axis=1)
+        saturated = (fin_count >= target_finished) & (best_alive <= worst_fin)
+        return can_continue & ~jnp.all(saturated)
+
+    def body(state):
+        (step, logprobs, cache, alive_toks, fin_toks, fin_scores, fin_count, alive_scores, _) = state
+        # logprobs: (B, K, V) log-softmaxed + suppressed next-token dists.
+        cand = alive_scores[:, :, None] + logprobs  # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        beam_idx = top_idx // V
+        tok_idx = top_idx % V
+
+        is_eot = tok_idx == opts.eot
+
+        # --- finished merge: candidates ending in EOT → top-K finished ----
+        eot_pen = length_penalized(top_scores, step + 1, opts.length_penalty)
+        eot_pen = jnp.where(is_eot, eot_pen, NEG_INF)
+        # Token history of each EOT candidate = alive_toks[beam] + EOT pad.
+        cand_toks = jnp.take_along_axis(alive_toks, beam_idx[:, :, None], axis=1)  # (B,2K,L)
+        cand_toks = cand_toks.at[:, :, step].set(opts.eot)
+        all_fin_scores = jnp.concatenate([fin_scores, eot_pen], axis=1)  # (B, K+2K)
+        all_fin_toks = jnp.concatenate([fin_toks, cand_toks], axis=1)
+        keep_scores, keep_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_toks = jnp.take_along_axis(all_fin_toks, keep_idx[:, :, None], axis=1)
+        fin_scores = keep_scores
+        fin_count = fin_count + jnp.sum(is_eot, axis=1)
+
+        # --- alive selection: best K non-EOT of the 2K candidates ----------
+        alive_cand = jnp.where(is_eot, NEG_INF, top_scores)
+        new_scores, pick = jax.lax.top_k(alive_cand, K)  # (B, K)
+        new_beam = jnp.take_along_axis(beam_idx, pick, axis=1)
+        new_tok = jnp.take_along_axis(tok_idx, pick, axis=1)
+
+        new_toks = jnp.take_along_axis(alive_toks, new_beam[:, :, None], axis=1)
+        new_toks = new_toks.at[:, :, step].set(new_tok)
+
+        flat_idx = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
+        cache = _gather_cache(cache, flat_idx)
+
+        step_tokens = new_tok.reshape(B * K, 1).astype(jnp.int32)
+        logits, cache = step_fn(step_tokens, cache, prompt_len + step)
+        lp = jax.nn.log_softmax(logits[:, -1] + suppress, axis=-1).reshape(B, K, V)
+        return (step + 1, lp, cache, new_toks, fin_toks, fin_scores, fin_count, new_scores, new_tok)
+
+    state = (
+        jnp.int32(0),
+        logits0,
+        expanded_cache,
+        jnp.full((B, K, max_new), opts.eot, jnp.int32),
+        jnp.full((B, K, max_new), opts.eot, jnp.int32),
+        jnp.full((B, K), NEG_INF, jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        alive_scores0,
+        jnp.zeros((B, K), jnp.int32),
+    )
+    (step, _, _, alive_toks, fin_toks, fin_scores, fin_count, alive_scores, _) = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    # Prefer the best finished hypothesis; fall back to best alive (ran out of
+    # steps without EOT — the reference's CT2 behaves the same way).
+    have_finished = fin_count > 0
+    alive_pen = length_penalized(alive_scores, step, opts.length_penalty)
+    best_alive_idx = jnp.argmax(alive_pen, axis=1)
+    best_alive_toks = jnp.take_along_axis(
+        alive_toks, best_alive_idx[:, None, None], axis=1
+    )[:, 0]
+    best_alive_score = jnp.take_along_axis(alive_scores, best_alive_idx[:, None], axis=1)[:, 0]
+
+    best_fin_toks = fin_toks[:, 0]  # fin buffers are sorted by top_k
+    best_fin_score = fin_scores[:, 0]
+
+    tokens = jnp.where(have_finished[:, None], best_fin_toks, best_alive_toks)
+    # Recover the raw (unpenalized) cumulative logprob for finished rows:
+    lengths = jnp.sum(tokens != opts.eot, axis=1) + 1
+    raw_fin = best_fin_score * (((5.0 + lengths) / 6.0) ** opts.length_penalty)
+    sum_lp = jnp.where(have_finished, raw_fin, best_alive_score)
+    return tokens, sum_lp, lengths

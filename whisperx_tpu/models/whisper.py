@@ -9,8 +9,8 @@ an XLA-native model. TPU-first choices:
 - The KV cache is a *value* (pytree) threaded through ``decode_step``, not
   Flax mutable state — it can be a ``lax.while_loop`` carry and a pjit-sharded
   array like any other.
-- Cross-attention K/V are precomputed once per segment (``init_cache``), so
-  each decode step is pure MXU matmuls against resident buffers.
+- Cross-attention K/V are precomputed once per segment (``compute_cross_kv``),
+  so each decode step is pure MXU matmuls against resident buffers.
 - Attention scale is split as ``d_k**-0.25`` on both q and k for bf16 range
   safety; softmax runs in fp32.
 - Parameter names form a stable tree addressed by the partition rules in
@@ -44,41 +44,50 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.
 class MultiHeadAttention(nn.Module):
     """Attention with optional static KV cache and precomputed cross K/V."""
 
+    d_model: int
     n_head: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.query = nn.Dense(self.d_model, dtype=self.dtype)
+        self.key = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)
+        self.value = nn.Dense(self.d_model, dtype=self.dtype)
+        self.out = nn.Dense(self.d_model, dtype=self.dtype)
+
+    def _split(self, h: Array) -> Array:  # (B, T, D) -> (B, T, H, Dh)
+        return h.reshape(h.shape[0], h.shape[1], self.n_head, self.d_model // self.n_head)
+
+    def compute_kv(self, src: Array) -> tuple:
+        """Project K/V once (cross-attention precompute)."""
+        return self._split(self.key(src)), self._split(self.value(src))
+
     def __call__(
         self,
         x: Array,  # (B, T_q, D)
-        kv_source: Optional[Array] = None,  # cross-attn source (B, T_kv, D)
         *,
-        mask: Optional[Array] = None,  # (T_q, T_kv) additive mask
-        cache: Optional[dict] = None,  # {"k","v"} (B, T_cache, H, Dh) + index
+        mask: Optional[Array] = None,  # additive, broadcastable to (B,H,Tq,Tkv)
+        cache: Optional[dict] = None,  # {"k","v"} (B, T_cache, H, Dh)
         cache_index: Optional[Array] = None,
-        precomputed_kv: Optional[tuple] = None,  # cross-attn (k, v)
+        precomputed_kv: Optional[tuple] = None,
     ):
-        d_model = x.shape[-1]
-        head_dim = d_model // self.n_head
+        head_dim = self.d_model // self.n_head
         scale = head_dim**-0.25
-
-        def split(h):  # (B, T, D) -> (B, T, H, Dh)
-            return h.reshape(h.shape[0], h.shape[1], self.n_head, head_dim)
-
-        q = split(nn.Dense(d_model, dtype=self.dtype, name="query")(x)) * scale
+        q = self._split(self.query(x)) * scale
 
         if precomputed_kv is not None:
             k, v = precomputed_kv
         else:
-            src = x if kv_source is None else kv_source
-            k = split(nn.Dense(d_model, use_bias=False, dtype=self.dtype, name="key")(src))
-            v = split(nn.Dense(d_model, dtype=self.dtype, name="value")(src))
+            k, v = self.compute_kv(x)
 
         new_cache = None
         if cache is not None:
             # Scatter this step's K/V into the static ring buffer.
-            k = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0)
+            )
             new_cache = {"k": k, "v": v}
 
         logits = jnp.einsum(
@@ -88,104 +97,123 @@ class MultiHeadAttention(nn.Module):
             logits = logits + mask
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(self.dtype))
-        out = out.reshape(x.shape[0], x.shape[1], d_model)
-        out = nn.Dense(d_model, dtype=self.dtype, name="out")(out)
-        return out, new_cache
-
-    def compute_kv(self, src: Array) -> tuple:
-        """Project cross-attention K/V once per audio segment (init_cache)."""
-        d_model = src.shape[-1]
-        head_dim = d_model // self.n_head
-
-        def split(h):
-            return h.reshape(h.shape[0], h.shape[1], self.n_head, head_dim)
-
-        k = split(nn.Dense(d_model, use_bias=False, dtype=self.dtype, name="key")(src))
-        v = split(nn.Dense(d_model, dtype=self.dtype, name="value")(src))
-        return k, v
+        out = out.reshape(x.shape[0], x.shape[1], self.d_model)
+        return self.out(out), new_cache
 
 
 class MLP(nn.Module):
+    d_model: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = nn.Dense(4 * self.d_model, dtype=self.dtype)
+        self.fc2 = nn.Dense(self.d_model, dtype=self.dtype)
+
     def __call__(self, x: Array) -> Array:
-        d = x.shape[-1]
-        h = nn.Dense(4 * d, dtype=self.dtype, name="fc1")(x)
-        h = nn.gelu(h, approximate=False)
-        return nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+        return self.fc2(nn.gelu(self.fc1(x), approximate=False))
 
 
 class EncoderBlock(nn.Module):
+    d_model: int
     n_head: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.attn_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.mlp = MLP(self.d_model, dtype=self.dtype)
+
     def __call__(self, x: Array) -> Array:
-        h, _ = MultiHeadAttention(self.n_head, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x)
-        )
+        h, _ = self.attn(self.attn_ln(x).astype(self.dtype))
         x = x + h
-        x = x + MLP(dtype=self.dtype, name="mlp")(nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x))
-        return x
+        return x + self.mlp(self.mlp_ln(x).astype(self.dtype))
 
 
 class AudioEncoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.conv1 = nn.Conv(cfg.n_audio_state, kernel_size=(3,), padding=1, dtype=self.dtype)
+        self.conv2 = nn.Conv(
+            cfg.n_audio_state, kernel_size=(3,), strides=(2,), padding=1, dtype=self.dtype
+        )
+        self.layers = [
+            EncoderBlock(cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.n_audio_layer)
+        ]
+        self.ln_post = nn.LayerNorm(dtype=jnp.float32)
+
     def __call__(self, mel: Array) -> Array:
         """(B, n_mels, 3000) log-mel → (B, 1500, D) audio states."""
         cfg = self.config
         x = mel.astype(self.dtype).transpose(0, 2, 1)  # (B, T, n_mels): conv over time
-        x = nn.Conv(cfg.n_audio_state, kernel_size=(3,), padding=1, dtype=self.dtype, name="conv1")(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Conv(
-            cfg.n_audio_state, kernel_size=(3,), strides=(2,), padding=1, dtype=self.dtype, name="conv2"
-        )(x)
-        x = nn.gelu(x, approximate=False)
-
+        x = nn.gelu(self.conv1(x), approximate=False)
+        x = nn.gelu(self.conv2(x), approximate=False)
         pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state), dtype=self.dtype)
         x = x + pos[None, : x.shape[1]]
-
-        for i in range(cfg.n_audio_layer):
-            x = EncoderBlock(cfg.n_audio_head, dtype=self.dtype, name=f"layers_{i}")(x)
-        return nn.LayerNorm(dtype=jnp.float32, name="ln_post")(x).astype(self.dtype)
+        for block in self.layers:
+            x = block(x)
+        return self.ln_post(x).astype(self.dtype)
 
 
 class DecoderBlock(nn.Module):
+    d_model: int
     n_head: int
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.attn_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.cross_attn_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.cross_attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.mlp = MLP(self.d_model, dtype=self.dtype)
+
     def __call__(self, x, *, self_cache, cache_index, cross_kv, self_mask):
-        h, new_self_cache = MultiHeadAttention(self.n_head, dtype=self.dtype, name="attn")(
-            nn.LayerNorm(dtype=jnp.float32, name="attn_ln")(x),
+        h, new_self_cache = self.attn(
+            self.attn_ln(x).astype(self.dtype),
             mask=self_mask,
             cache=self_cache,
             cache_index=cache_index,
         )
         x = x + h
-        h, _ = MultiHeadAttention(self.n_head, dtype=self.dtype, name="cross_attn")(
-            nn.LayerNorm(dtype=jnp.float32, name="cross_attn_ln")(x),
-            precomputed_kv=cross_kv,
+        h, _ = self.cross_attn(
+            self.cross_attn_ln(x).astype(self.dtype), precomputed_kv=cross_kv
         )
         x = x + h
-        x = x + MLP(dtype=self.dtype, name="mlp")(nn.LayerNorm(dtype=jnp.float32, name="mlp_ln")(x))
-        return x, new_self_cache
+        return x + self.mlp(self.mlp_ln(x).astype(self.dtype)), new_self_cache
 
     def compute_cross_kv(self, audio_states):
-        return MultiHeadAttention(self.n_head, dtype=self.dtype, name="cross_attn").compute_kv(
-            audio_states
-        )
+        return self.cross_attn.compute_kv(audio_states)
 
 
 class TextDecoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.token_embedding = self.param(
+            "token_embedding",
+            nn.initializers.normal(cfg.n_text_state**-0.5),
+            (cfg.n_vocab, cfg.n_text_state),
+            jnp.float32,
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.n_text_ctx, cfg.n_text_state),
+            jnp.float32,
+        )
+        self.layers = [
+            DecoderBlock(cfg.n_text_state, cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.n_text_layer)
+        ]
+        self.ln = nn.LayerNorm(dtype=jnp.float32)
+
     def __call__(self, tokens: Array, cache: Cache, cache_index: Array):
         """Decode `tokens` (B, T) starting at absolute position `cache_index`.
 
@@ -193,33 +221,21 @@ class TextDecoder(nn.Module):
         (T = 1). Returns (logits (B, T, V) fp32, updated cache).
         """
         cfg = self.config
-        B, T = tokens.shape
-        embed = self.param(
-            "token_embedding",
-            nn.initializers.normal(cfg.n_text_state**-0.5),
-            (cfg.n_vocab, cfg.n_text_state),
-            jnp.float32,
-        )
-        pos_embed = self.param(
-            "positional_embedding",
-            nn.initializers.normal(0.01),
-            (cfg.n_text_ctx, cfg.n_text_state),
-            jnp.float32,
-        )
-        x = embed.astype(self.dtype)[tokens]
+        T = tokens.shape[1]
+        x = self.token_embedding.astype(self.dtype)[tokens]
         x = x + jax.lax.dynamic_slice(
-            pos_embed.astype(self.dtype), (cache_index, 0), (T, cfg.n_text_state)
+            self.positional_embedding.astype(self.dtype), (cache_index, 0), (T, cfg.n_text_state)
         )
 
-        # Causal mask against the static cache: position cache_index + t may
-        # attend to cache slots [0, cache_index + t].
+        # Causal mask against the static cache: query at absolute position
+        # cache_index + t sees cache slots [0, cache_index + t].
         q_pos = cache_index + jnp.arange(T)[:, None]
         k_pos = jnp.arange(cfg.n_text_ctx)[None, :]
-        self_mask = jnp.where(k_pos <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+        self_mask = jnp.where(k_pos <= q_pos, 0.0, NEG_MASK).astype(jnp.float32)
 
         new_cache = {"self": [], "cross": cache["cross"]}
-        for i in range(cfg.n_text_layer):
-            x, new_self = DecoderBlock(cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}")(
+        for i, block in enumerate(self.layers):
+            x, new_self = block(
                 x,
                 self_cache=cache["self"][i],
                 cache_index=cache_index,
@@ -228,21 +244,21 @@ class TextDecoder(nn.Module):
             )
             new_cache["self"].append(new_self)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="ln")(x)
+        x = self.ln(x)
         logits = jnp.einsum(
-            "btd,vd->btv", x.astype(self.dtype), embed.astype(self.dtype),
+            "btd,vd->btv",
+            x.astype(self.dtype),
+            self.token_embedding.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
         return logits.astype(jnp.float32), new_cache
 
     def compute_cross_kv(self, audio_states: Array):
-        cfg = self.config
-        return [
-            DecoderBlock(cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}").compute_cross_kv(
-                audio_states
-            )
-            for i in range(cfg.n_text_layer)
-        ]
+        return [block.compute_cross_kv(audio_states) for block in self.layers]
+
+
+NEG_MASK = -1e9  # large-negative instead of -inf: keeps softmax NaN-free for
+# all-masked rows (unwritten cache slots) in bf16/fp32 alike.
 
 
 class Whisper(nn.Module):
