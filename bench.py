@@ -1,0 +1,78 @@
+"""Throughput benchmark: audio-seconds transcribed per wall-clock second.
+
+Measures the flagship path on the available accelerator: Whisper large-v2
+(bf16, random weights — network-free), batched 30 s chunks through the full
+on-device pipeline: log-mel front-end → encoder → beam-5 decode. EOT is
+banned so every segment pays the full 112-token decode horizon (a
+conservative stand-in for real transcripts, which average fewer tokens).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the reference's 70x-realtime claim
+(/root/repo/BASELINE.md, reference README.md:35,37).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from whisperx_tpu.audio import N_SAMPLES, log_mel_spectrogram
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import get_whisper_config
+    from whisperx_tpu.models.whisper import init_whisper_params
+
+    model_name = os.environ.get("BENCH_MODEL", "large-v2")
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    beam = int(os.environ.get("BENCH_BEAM", "5"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "112"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    cfg = get_whisper_config(model_name)
+    model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
+    tokenizer = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
+    engine = WhisperEngine(model, tokenizer)
+
+    opts = engine.build_options(beam_size=beam, max_new_tokens=max_new)
+    # Ban EOT: random weights would otherwise terminate unrealistically early;
+    # this forces the full per-segment decode horizon.
+    import dataclasses
+
+    opts = dataclasses.replace(opts, banned_tokens=opts.banned_tokens + (opts.eot,))
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((batch, N_SAMPLES)) * 0.1).astype(np.float32)
+
+    def run():
+        mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels).astype(jnp.bfloat16)
+        out = engine.generate(params, mel, options=opts)
+        return out
+
+    run()  # compile (excluded)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+
+    audio_seconds = batch * 30.0
+    xrt = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"audio_seconds_per_second_{model_name}_beam{beam}",
+                "value": round(xrt, 2),
+                "unit": "x realtime (1 chip)",
+                "vs_baseline": round(xrt / 70.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

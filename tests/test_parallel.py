@@ -1,0 +1,70 @@
+"""Mesh/sharding tests on the virtual 8-device CPU platform."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from whisperx_tpu.decode.engine import WhisperEngine
+from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+from whisperx_tpu.models.configs import TEST_CONFIG
+from whisperx_tpu.models.whisper import init_whisper_params
+from whisperx_tpu.parallel import make_mesh, partition_specs, shard_batch, shard_params
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (8, 1)
+    mesh2 = make_mesh(n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+    assert mesh2.axis_names == ("data", "model")
+
+
+def test_partition_specs_rules():
+    _, params = init_whisper_params(TEST_CONFIG, seed=0)
+    specs = partition_specs(params)
+    assert specs["decoder"]["layers_0"]["attn"]["query"]["kernel"] == P(None, "model")
+    assert specs["decoder"]["layers_0"]["attn"]["out"]["kernel"] == P("model", None)
+    assert specs["decoder"]["layers_0"]["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert specs["decoder"]["token_embedding"] == P("model", None)
+    assert specs["encoder"]["conv1"]["kernel"] == P()
+    assert specs["decoder"]["ln"]["scale"] == P()
+
+
+def test_sharded_decode_matches_single_device():
+    """Greedy decode over a 4x2 mesh must equal the unsharded result."""
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    tokenizer = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    engine = WhisperEngine(model, tokenizer)
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.5
+    opts = engine.build_options(beam_size=1, max_new_tokens=6)
+
+    base = engine.generate(params, mel, options=opts)
+
+    mesh = make_mesh(n_model=2)
+    sharded_params = shard_params(params, mesh)
+    sharded_mel = shard_batch(mesh, mel)
+    with jax.set_mesh(mesh):
+        sharded = engine.generate(sharded_params, sharded_mel, options=opts)
+
+    np.testing.assert_array_equal(base.tokens, sharded.tokens)
+    np.testing.assert_allclose(base.sum_logprobs, sharded.sum_logprobs, atol=1e-3)
+
+
+def test_sharded_beam_runs():
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    tokenizer = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    engine = WhisperEngine(model, tokenizer)
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.5
+    opts = engine.build_options(beam_size=2, max_new_tokens=5)
+    mesh = make_mesh(n_model=2)
+    sharded_params = shard_params(params, mesh)
+    with jax.set_mesh(mesh):
+        out = engine.generate(params=sharded_params, mel=shard_batch(mesh, mel), options=opts)
+    assert out.tokens.shape == (4, 5)

@@ -47,10 +47,10 @@ class WhisperEngine:
     def _encode(self, params, mel):
         return self.model.apply({"params": params}, mel, method=Whisper.encode)
 
-    def _prompt_cache(self, params, audio_states, prompt_tokens):
+    def _prompt_cache(self, params, audio_states, prompt_tokens, cache_len: int = 0):
         """Run the prompt through the decoder, returning last logits + cache."""
         B = audio_states.shape[0]
-        cache = self.model.empty_cache(B, cache_dtype=self.model.dtype)
+        cache = self.model.empty_cache(B, cache_dtype=self.model.dtype, cache_len=cache_len)
         cache["cross"] = self.model.apply(
             {"params": params}, audio_states, method=Whisper.compute_cross_kv
         )
@@ -69,11 +69,20 @@ class WhisperEngine:
 
     # ---- jitted end-to-end decode -----------------------------------------
 
+    @staticmethod
+    def _cache_len(prompt_len: int, opts: SearchOptions) -> int:
+        # Static cache sized to the actual horizon, rounded up to the TPU
+        # lane-friendly multiple of 64 — far smaller than n_text_ctx at K=5.
+        need = prompt_len + opts.max_new_tokens
+        return min(448, -(-need // 64) * 64)
+
     @functools.partial(jax.jit, static_argnames=("self", "opts"))
     def decode_greedy(self, params, mel, prompt_tokens, opts: SearchOptions, rng=None):
         """(B, n_mels, 3000) features + (B, P) prompt → greedy tokens."""
         audio_states = self._encode(params, mel)
-        init_logits, cache = self._prompt_cache(params, audio_states, prompt_tokens)
+        init_logits, cache = self._prompt_cache(
+            params, audio_states, prompt_tokens, self._cache_len(prompt_tokens.shape[1], opts)
+        )
         return greedy_decode(
             self._step_fn(params), init_logits, cache, prompt_tokens.shape[1], opts, rng
         )
@@ -83,9 +92,15 @@ class WhisperEngine:
         """(B, n_mels, 3000) features + (B, P) prompt → beam-searched tokens."""
         K = opts.beam_size
         audio_states = self._encode(params, mel)
-        init_logits, cache = self._prompt_cache(params, audio_states, prompt_tokens)
-        # Replicate the prompt-filled cache per beam: (B, ...) -> (B*K, ...).
-        expanded = jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache)
+        init_logits, cache = self._prompt_cache(
+            params, audio_states, prompt_tokens, self._cache_len(prompt_tokens.shape[1], opts)
+        )
+        # Replicate only the prompt-filled *self* cache per beam:
+        # (B, ...) -> (B*K, ...). Cross K/V stay per batch element.
+        expanded = {
+            "self": jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache["self"]),
+            "cross": cache["cross"],
+        }
         return beam_decode(self._step_fn(params), init_logits, expanded, prompt_tokens.shape[1], opts)
 
     @functools.partial(jax.jit, static_argnames=("self",))

@@ -138,8 +138,13 @@ def greedy_decode(
 
 
 def _gather_cache(cache, flat_idx):
-    """Reorder every (B*K, ...) array in the cache pytree by beam indices."""
-    return jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), cache)
+    """Reorder the (B*K, ...) self-attention cache by beam indices.
+
+    Cross-attention K/V stay at batch granularity (shared across beams — see
+    MultiHeadAttention's beam grouping) and are never reindexed.
+    """
+    gathered = jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), cache["self"])
+    return {"self": gathered, "cross": cache["cross"]}
 
 
 def beam_decode(

@@ -1,0 +1,208 @@
+"""wav2vec2 CTC model in Flax — the forced-alignment emission network.
+
+Replaces the torch/torchaudio wav2vec2 forward the reference calls per
+segment (whisperx/alignment.py:226-233) with a jit'd, *batched* JAX model:
+the reference aligns segment-by-segment (its own TODO at alignment.py:215);
+here segments are bucketed and run as batches with length masks, so the conv
+front-end and transformer ride the MXU at full tilt.
+
+Architecture parity targets the HF ``Wav2Vec2ForCTC`` graph ("group"-norm
+base and "layer"-norm large variants, conv positional embeddings, post-LN or
+stable-pre-LN encoder) so released checkpoints convert 1:1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .configs import Wav2Vec2Config
+
+Array = jax.Array
+NEG_MASK = -1e9
+
+
+class ConvFeatureExtractor(nn.Module):
+    """Strided 1-D conv stack: raw 16 kHz audio → 512-d frames @ 50 Hz."""
+
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: Array) -> Array:  # (B, T) -> (B, T', C)
+        cfg = self.config
+        x = audio[:, :, None].astype(self.dtype)  # (B, T, 1)
+        for i, (dim, kernel, stride) in enumerate(cfg.conv_layers):
+            x = nn.Conv(
+                dim,
+                kernel_size=(kernel,),
+                strides=(stride,),
+                padding="VALID",
+                use_bias=cfg.conv_bias,
+                dtype=self.dtype,
+                name=f"conv_{i}",
+            )(x)
+            if cfg.feat_extract_norm == "group" and i == 0:
+                # Base models: a single GroupNorm(512 groups == per-channel
+                # instance norm) after the first conv.
+                x = nn.GroupNorm(num_groups=dim, dtype=jnp.float32, name=f"norm_{i}")(x)
+            elif cfg.feat_extract_norm == "layer":
+                x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=f"norm_{i}")(x)
+            x = nn.gelu(x.astype(self.dtype), approximate=False)
+        return x
+
+
+class ConvPositionalEmbedding(nn.Module):
+    """Grouped conv positional encoding (kernel 128, groups 16) + GELU."""
+
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # (B, T, D)
+        cfg = self.config
+        k = cfg.num_conv_pos_embeddings
+        h = nn.Conv(
+            cfg.hidden_size,
+            kernel_size=(k,),
+            padding=k // 2,
+            feature_group_count=cfg.num_conv_pos_embedding_groups,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if k % 2 == 0:  # even kernel: trim the extra right frame (HF parity)
+            h = h[:, :-1, :]
+        return nn.gelu(h, approximate=False)
+
+
+class W2VAttention(nn.Module):
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.config.hidden_size
+        self.q_proj = nn.Dense(d, dtype=self.dtype)
+        self.k_proj = nn.Dense(d, dtype=self.dtype)
+        self.v_proj = nn.Dense(d, dtype=self.dtype)
+        self.out_proj = nn.Dense(d, dtype=self.dtype)
+
+    def __call__(self, x: Array, pad_mask: Optional[Array]) -> Array:
+        cfg = self.config
+        B, T, D = x.shape
+        H = cfg.num_heads
+        Dh = D // H
+        scale = Dh**-0.25
+
+        def split(h):
+            return h.reshape(B, T, H, Dh)
+
+        q = split(self.q_proj(x)) * scale
+        k = split(self.k_proj(x)) * scale
+        v = split(self.v_proj(x))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        if pad_mask is not None:  # (B, T) 1=valid
+            logits = logits + jnp.where(pad_mask, 0.0, NEG_MASK)[:, None, None, :]
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, D)
+        return self.out_proj(out)
+
+
+class W2VFeedForward(nn.Module):
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.intermediate = nn.Dense(self.config.intermediate_size, dtype=self.dtype)
+        self.output = nn.Dense(self.config.hidden_size, dtype=self.dtype)
+
+    def __call__(self, x: Array) -> Array:
+        return self.output(nn.gelu(self.intermediate(x), approximate=False))
+
+
+class W2VEncoderLayer(nn.Module):
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.attention = W2VAttention(cfg, dtype=self.dtype)
+        self.layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.feed_forward = W2VFeedForward(cfg, dtype=self.dtype)
+        self.final_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+
+    def __call__(self, x: Array, pad_mask: Optional[Array]) -> Array:
+        if self.config.do_stable_layer_norm:  # pre-LN (large/xlsr)
+            x = x + self.attention(self.layer_norm(x).astype(self.dtype), pad_mask)
+            x = x + self.feed_forward(self.final_layer_norm(x).astype(self.dtype))
+        else:  # post-LN (base)
+            x = self.layer_norm(x + self.attention(x, pad_mask)).astype(self.dtype)
+            x = self.final_layer_norm(x + self.feed_forward(x)).astype(self.dtype)
+        return x
+
+
+class Wav2Vec2ForCTC(nn.Module):
+    """Full CTC model: conv features → projection → transformer → vocab logits."""
+
+    config: Wav2Vec2Config
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.feature_extractor = ConvFeatureExtractor(cfg, dtype=self.dtype)
+        self.feat_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.feat_projection = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.pos_conv_embed = ConvPositionalEmbedding(cfg, dtype=self.dtype)
+        self.encoder_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
+        self.layers = [
+            W2VEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.num_layers)
+        ]
+        self.lm_head = nn.Dense(cfg.vocab_size, dtype=self.dtype)
+
+    def __call__(self, audio: Array, sample_lengths: Optional[Array] = None) -> Array:
+        """(B, T) float32 in [-1,1] → (B, T//320 - ..., vocab) fp32 logits.
+
+        ``sample_lengths`` masks padded samples in batched/bucketed mode; the
+        returned logits at padded frames correspond to masked attention and a
+        zeroed conv input, and callers also get ``frame_lengths`` via
+        :meth:`feature_lengths`.
+        """
+        cfg = self.config
+        if sample_lengths is not None:
+            t_idx = jnp.arange(audio.shape[1])[None, :]
+            audio = jnp.where(t_idx < sample_lengths[:, None], audio, 0.0)
+
+        feats = self.feature_extractor(audio)  # (B, T', C)
+        pad_mask = None
+        if sample_lengths is not None:
+            frame_len = self.feature_lengths(sample_lengths)
+            pad_mask = jnp.arange(feats.shape[1])[None, :] < frame_len[:, None]
+
+        x = self.feat_layer_norm(feats)
+        x = self.feat_projection(x.astype(self.dtype))
+        x = x + self.pos_conv_embed(x)
+        if not cfg.do_stable_layer_norm:
+            x = self.encoder_layer_norm(x).astype(self.dtype)
+        for layer in self.layers:
+            x = layer(x, pad_mask)
+        if cfg.do_stable_layer_norm:
+            x = self.encoder_layer_norm(x).astype(self.dtype)
+        return self.lm_head(x).astype(jnp.float32)
+
+    def feature_lengths(self, sample_lengths: Array) -> Array:
+        """Conv-stack output length for given input sample counts."""
+        n = sample_lengths
+        for _, kernel, stride in self.config.conv_layers:
+            n = (n - kernel) // stride + 1
+        return n
+
+
+def init_wav2vec2_params(config: Wav2Vec2Config, seed: int = 0, dtype=jnp.float32):
+    model = Wav2Vec2ForCTC(config, dtype=dtype)
+    audio = jnp.zeros((1, 4000), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed), audio)["params"]
+    return model, params

@@ -90,6 +90,15 @@ class MultiHeadAttention(nn.Module):
             )
             new_cache = {"k": k, "v": v}
 
+        # Beam grouping: cross-attention K/V are shared by all beams of one
+        # batch element, so they stay (B, S, H, Dh) while queries arrive as
+        # (B*K, T, H, Dh). Folding K into the query-time axis avoids
+        # replicating the (large) encoder KV per beam — a K-fold HBM saving.
+        group = x.shape[0] // k.shape[0]
+        Tq = x.shape[1]
+        if group > 1:
+            q = q.reshape(k.shape[0], group * Tq, self.n_head, head_dim)
+
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k.astype(q.dtype) * scale, preferred_element_type=jnp.float32
         )
@@ -97,7 +106,7 @@ class MultiHeadAttention(nn.Module):
             logits = logits + mask
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(self.dtype))
-        out = out.reshape(x.shape[0], x.shape[1], self.d_model)
+        out = out.reshape(x.shape[0], Tq, self.d_model)
         return self.out(out), new_cache
 
 
@@ -228,9 +237,11 @@ class TextDecoder(nn.Module):
         )
 
         # Causal mask against the static cache: query at absolute position
-        # cache_index + t sees cache slots [0, cache_index + t].
+        # cache_index + t sees cache slots [0, cache_index + t]. The cache may
+        # be shorter than n_text_ctx (sized to prompt+max_new by the engine).
+        cache_len = cache["self"][0]["k"].shape[1]
         q_pos = cache_index + jnp.arange(T)[:, None]
-        k_pos = jnp.arange(cfg.n_text_ctx)[None, :]
+        k_pos = jnp.arange(cache_len)[None, :]
         self_mask = jnp.where(k_pos <= q_pos, 0.0, NEG_MASK).astype(jnp.float32)
 
         new_cache = {"self": [], "cross": cache["cross"]}
@@ -288,11 +299,13 @@ class Whisper(nn.Module):
     def compute_cross_kv(self, audio_states: Array):
         return self.decoder.compute_cross_kv(audio_states)
 
-    def empty_cache(self, batch: int, cache_dtype: Any = None) -> Cache:
+    def empty_cache(self, batch: int, cache_dtype: Any = None, cache_len: int = 0) -> Cache:
+        """Zeroed self-attention cache. ``cache_len`` trims the buffer below
+        n_text_ctx (prompt+max_new) — a large HBM saving at beam width 5."""
         cfg = self.config
         dt = cache_dtype or self.dtype
         head_dim = cfg.n_text_state // cfg.n_text_head
-        shape = (batch, cfg.n_text_ctx, cfg.n_text_head, head_dim)
+        shape = (batch, cache_len or cfg.n_text_ctx, cfg.n_text_head, head_dim)
         return {
             "self": [
                 {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
