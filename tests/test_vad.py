@@ -1,0 +1,136 @@
+"""VAD binarize/min-cut/merge tests over synthetic score arrays (SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from whisperx_tpu.vad import (
+    EnergyVAD,
+    VadPipeline,
+    binarize,
+    binarize_and_merge,
+    merge_chunks,
+    SpeechTurn,
+)
+
+
+def grid(n, step=0.1):
+    return np.arange(n) * step + step / 2
+
+
+def test_binarize_simple_hysteresis():
+    # active frames 10..19 (score .9), rest 0.1
+    scores = np.full(30, 0.1)
+    scores[10:20] = 0.9
+    turns = binarize(scores, grid(30), onset=0.5, offset=0.4)
+    assert len(turns) == 1
+    t = turns[0]
+    assert abs(t.start - grid(30)[10]) < 1e-9
+    assert abs(t.end - grid(30)[20]) < 1e-9
+
+
+def test_binarize_hysteresis_band():
+    # dips to 0.45 shouldn't deactivate when offset=0.4 but should with 0.5
+    scores = np.full(30, 0.1)
+    scores[5:25] = 0.9
+    scores[15] = 0.45
+    turns = binarize(scores, grid(30), onset=0.5, offset=0.4)
+    assert len(turns) == 1
+    turns2 = binarize(scores, grid(30), onset=0.5, offset=0.5)
+    assert len(turns2) == 2
+
+
+def test_binarize_min_cut():
+    """A long active region must be split at the min score in the 2nd half."""
+    n = 100
+    scores = np.full(n, 0.9)
+    scores[70] = 0.55  # the min, in the second half of the running window
+    ts = grid(n, 0.1)
+    turns = binarize(scores, ts, onset=0.5, offset=0.4, max_duration=8.0)
+    assert len(turns) >= 2
+    # First cut lands exactly at frame 70's timestamp.
+    assert any(abs(t.end - ts[70]) < 1e-9 for t in turns)
+    # no piece exceeds max_duration (with half-window guarantee)
+    for t in turns:
+        assert t.duration <= 8.0 + 0.2
+
+
+def test_min_cut_pieces_at_least_half_window():
+    n = 400
+    rng = np.random.default_rng(0)
+    scores = 0.6 + 0.35 * rng.random(n)
+    ts = grid(n, 0.1)
+    turns = binarize(scores, ts, onset=0.5, offset=0.4, max_duration=10.0)
+    assert len(turns) > 1
+    for t in turns[:-1]:
+        assert t.duration >= 5.0 - 0.2
+
+
+def test_min_duration_on():
+    scores = np.full(30, 0.1)
+    scores[5:7] = 0.9  # 0.2s blip
+    scores[15:25] = 0.9
+    turns = binarize(scores, grid(30), onset=0.5, offset=0.4, min_duration_on=0.5)
+    assert len(turns) == 1
+
+
+def test_merge_chunks_packing():
+    turns = [SpeechTurn(0.0, 10.0), SpeechTurn(11.0, 20.0), SpeechTurn(21.0, 29.0), SpeechTurn(35.0, 40.0)]
+    chunks = merge_chunks(turns, 30.0)
+    assert len(chunks) == 2
+    assert chunks[0]["start"] == 0.0 and chunks[0]["end"] == 29.0
+    assert len(chunks[0]["segments"]) == 3
+    assert chunks[1]["start"] == 35.0 and chunks[1]["end"] == 40.0
+
+
+def test_merge_chunks_never_exceeds_chunk_size():
+    rng = np.random.default_rng(1)
+    t = 0.0
+    turns = []
+    for _ in range(50):
+        t += rng.uniform(0.2, 2.0)
+        dur = rng.uniform(0.5, 12.0)
+        turns.append(SpeechTurn(t, t + dur))
+        t += dur
+    # pre-cut by binarize contract: all turns <= 30s already
+    chunks = merge_chunks(turns, 30.0)
+    for c in chunks:
+        assert c["end"] - c["start"] <= 30.0 + 1e-6
+    # every turn appears exactly once
+    total = sum(len(c["segments"]) for c in chunks)
+    assert total == len(turns)
+
+
+def test_binarize_and_merge_empty():
+    scores = np.full(50, 0.1)
+    assert binarize_and_merge(scores, grid(50)) == []
+
+
+def test_energy_vad_finds_speech():
+    sr = 16000
+    rng = np.random.default_rng(2)
+    quiet = rng.standard_normal(sr) * 1e-4
+    loud = np.sin(2 * np.pi * 220 * np.arange(2 * sr) / sr).astype(np.float64) * 0.5
+    loud *= 1 + 0.3 * np.sin(2 * np.pi * 3 * np.arange(2 * sr) / sr)  # AM, speech-ish
+    audio = np.concatenate([quiet, loud, quiet]).astype(np.float32)
+
+    pipeline = VadPipeline(EnergyVAD())
+    chunks = pipeline(audio, chunk_size=30.0)
+    assert len(chunks) >= 1
+    s, e = chunks[0]["start"], chunks[-1]["end"]
+    assert 0.5 < s < 1.5  # speech starts ~1.0s
+    assert 2.4 < e < 3.6  # ends ~3.0s
+
+
+def test_neural_vad_shapes():
+    """Random-weight PyanNet: correct frame grid + [0,1] scores."""
+    from whisperx_tpu.models.vad_net import init_vad_params
+    from whisperx_tpu.vad.model import NeuralVAD
+
+    model, params = init_vad_params(seed=0)
+    vad = NeuralVAD(model, params, window=5.0, step=2.5)
+    audio = np.random.default_rng(3).standard_normal(7 * 16000).astype(np.float32) * 0.1
+    vs = vad(audio)
+    assert vs.scores.ndim == 1
+    assert vs.scores.shape == vs.timestamps.shape
+    assert (vs.scores >= 0).all() and (vs.scores <= 1).all()
+    assert abs(vs.timestamps[1] - vs.timestamps[0] - 270 / 16000) < 1e-6

@@ -315,10 +315,40 @@ class Whisper(nn.Module):
         }
 
 
+def random_params_like(shapes, seed: int = 0, scale: float = 0.02):
+    """Materialize a parameter tree from eval_shape output on the host.
+
+    Avoids compiling ``model.init`` (which traces the full forward — minutes
+    for large models on a remote-compile backend). Name-aware: LayerNorm
+    scales get ones, biases zeros, everything else small normals.
+    """
+    rng = np.random.default_rng(seed)
+    flat = jax.tree_util.tree_flatten_with_path(shapes)[0]
+    leaves = []
+    for kp, sd in flat:
+        name = str(kp[-1].key) if hasattr(kp[-1], "key") else str(kp[-1])
+        if name == "scale":
+            arr = np.ones(sd.shape, np.float32)
+        elif name == "bias":
+            arr = np.zeros(sd.shape, np.float32)
+        else:
+            arr = (rng.standard_normal(sd.shape) * scale).astype(np.float32)
+        leaves.append(jnp.asarray(arr, dtype=sd.dtype))
+    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(shapes), leaves)
+
+
+def whisper_param_shapes(config: WhisperConfig, dtype=jnp.float32):
+    """Parameter ShapeDtypeStruct tree without any compilation."""
+    model = Whisper(config, dtype=dtype)
+    mel = jax.ShapeDtypeStruct((1, config.n_mels, 2 * config.n_audio_ctx), dtype)
+    tokens = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda m, t: model.init(jax.random.PRNGKey(0), m, t), mel, tokens
+    )["params"]
+    return model, shapes
+
+
 def init_whisper_params(config: WhisperConfig, seed: int = 0, dtype=jnp.float32):
     """Random-initialized parameter tree (tests / benchmarks without weights)."""
-    model = Whisper(config, dtype=dtype)
-    mel = jnp.zeros((1, config.n_mels, 2 * config.n_audio_ctx), dtype)
-    tokens = jnp.zeros((1, 1), jnp.int32)
-    params = model.init(jax.random.PRNGKey(seed), mel, tokens)["params"]
-    return model, params
+    model, shapes = whisper_param_shapes(config, dtype=dtype)
+    return model, random_params_like(shapes, seed=seed)
