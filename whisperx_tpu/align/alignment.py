@@ -1,0 +1,368 @@
+"""Forced alignment: transcript + audio → char/word/sentence timestamps.
+
+Behavioral parity with the reference aligner (whisperx/alignment.py:100-354):
+same char cleaning (lowercase, space→``|``, charwise ja/zh), same Punkt
+sentence spans with the abbreviation list, same trellis/backtrack semantics,
+same pandas-style word/sentence aggregation, NaN interpolation and
+same-timestamp sentence merging, same degraded-output fallbacks.
+
+TPU-first difference: the reference runs wav2vec2 and the trellis segment by
+segment (its own TODO, alignment.py:215). Here alignable segments are sorted
+by length, packed into padded batches, and emissions + trellises for a whole
+batch run as single device programs; only the O(T) backtrack walks on host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable, List, Optional, Union
+
+import numpy as np
+
+from ..audio.constants import SAMPLE_RATE
+from ..io.languages import LANGUAGES_WITHOUT_SPACES
+from ..io.types import AlignedTranscriptionResult, SingleAlignedSegment, SingleSegment
+from ..models.configs import WAV2VEC2_BASE, WAV2VEC2_LARGE, WAV2VEC2_TEST
+from ..ops.ctc import align_tokens_batch, merge_repeats
+from ..utils import interpolate_nans
+from .registry import (
+    DEFAULT_ALIGN_MODELS_HF,
+    DEFAULT_ALIGN_MODELS_TORCH,
+    TORCH_BUNDLE_TO_HF,
+    default_align_model,
+)
+
+PUNKT_ABBREVIATIONS = ["dr", "vs", "mr", "mrs", "prof"]
+
+
+@dataclass
+class AlignModel:
+    """Bundle of the JAX wav2vec2 and its char vocabulary."""
+
+    model: Any  # Wav2Vec2ForCTC (flax module)
+    params: Any
+    dictionary: dict  # lowercase char -> token id
+    language: str
+    blank_id: int = 0
+    max_batch: int = 8
+
+
+def _find_blank_id(dictionary: dict) -> int:
+    for char, code in dictionary.items():
+        if char in ("[pad]", "<pad>"):
+            return code
+    return 0
+
+
+def load_align_model(
+    language_code: str,
+    device=None,
+    model_name: Optional[str] = None,
+    model_dir: Optional[str] = None,
+):
+    """Build the alignment model + metadata (reference alignment.py:64-97 API).
+
+    ``model_name`` may be a local HF checkpoint directory (offline), an HF hub
+    id (resolved through the local cache), or a torchaudio bundle name (mapped
+    to its HF twin). Returns (AlignModel, {"language", "dictionary", "type"}).
+    """
+    if model_name is None:
+        model_name = default_align_model(language_code)
+    model_name = TORCH_BUNDLE_TO_HF.get(model_name, model_name)
+
+    from ..models.convert import load_wav2vec2
+
+    model, params, dictionary = load_wav2vec2(model_name, cache_dir=model_dir)
+    align_model = AlignModel(
+        model=model,
+        params=params,
+        dictionary={c.lower(): i for c, i in dictionary.items()},
+        language=language_code,
+        blank_id=_find_blank_id(dictionary),
+    )
+    metadata = {
+        "language": language_code,
+        "dictionary": align_model.dictionary,
+        "type": "jax",
+    }
+    return align_model, metadata
+
+
+def test_align_model(language: str = "en", seed: int = 0) -> AlignModel:
+    """Random-weight miniature align model with an a-z dictionary (tests)."""
+    from ..models.wav2vec2 import init_wav2vec2_params
+
+    model, params = init_wav2vec2_params(WAV2VEC2_TEST, seed=seed)
+    chars = ["[pad]", "|", "'"] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    dictionary = {c: i for i, c in enumerate(chars)}
+    return AlignModel(model, params, dictionary, language, blank_id=0)
+
+
+def _sentence_spans(text: str):
+    from nltk.tokenize.punkt import PunktParameters, PunktSentenceTokenizer
+
+    punkt_param = PunktParameters()
+    punkt_param.abbrev_types = set(PUNKT_ABBREVIATIONS)
+    splitter = PunktSentenceTokenizer(punkt_param)
+    return list(splitter.span_tokenize(text))
+
+
+def _preprocess_segment(text: str, dictionary: dict, charwise: bool):
+    """Clean chars to the model vocabulary, tracking original indices."""
+    num_leading = len(text) - len(text.lstrip())
+    num_trailing = len(text) - len(text.rstrip())
+
+    clean_char, clean_cdx = [], []
+    for cdx, char in enumerate(text):
+        c = char.lower()
+        if not charwise:
+            c = c.replace(" ", "|")
+        if cdx < num_leading or cdx > len(text) - num_trailing - 1:
+            continue
+        if c in dictionary:
+            clean_char.append(c)
+            clean_cdx.append(cdx)
+
+    per_word = text if charwise else text.split(" ")
+    clean_wdx = [
+        wdx for wdx, wrd in enumerate(per_word) if any(c.lower() in dictionary for c in wrd)
+    ]
+    return clean_char, clean_cdx, clean_wdx
+
+
+def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
+    """Run wav2vec2 over length-sorted padded batches → per-segment
+    (log_probs (T', V), T') on host."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params = align_model.model, align_model.params
+
+    order = sorted(range(len(slices)), key=lambda i: len(slices[i]))
+    results: List[Any] = [None] * len(slices)
+
+    def bucket_len(n: int) -> int:
+        # Pad to the next multiple of 1 s (bounds distinct compile shapes).
+        return max(16000, -(-n // 16000) * 16000)
+
+    fwd = jax.jit(
+        lambda p, a, sl: jax.nn.log_softmax(
+            model.apply({"params": p}, a, sample_lengths=sl), axis=-1
+        )
+    )
+
+    i = 0
+    while i < len(order):
+        batch_idx = order[i : i + align_model.max_batch]
+        max_len = bucket_len(max(len(slices[j]) for j in batch_idx))
+        wavs = np.zeros((len(batch_idx), max_len), np.float32)
+        lens = np.zeros((len(batch_idx),), np.int32)
+        for row, j in enumerate(batch_idx):
+            wavs[row, : len(slices[j])] = slices[j]
+            lens[row] = len(slices[j])
+        logp = np.asarray(fwd(params, jnp.asarray(wavs), jnp.asarray(lens)))
+        frame_lens = np.asarray(model.feature_lengths(jnp.asarray(lens)))
+        for row, j in enumerate(batch_idx):
+            results[j] = (logp[row], int(frame_lens[row]))
+        i += align_model.max_batch
+    return results
+
+
+def align(
+    transcript: Iterable[SingleSegment],
+    model: AlignModel,
+    align_model_metadata: dict,
+    audio: Union[str, np.ndarray],
+    device=None,
+    interpolate_method: str = "nearest",
+    return_char_alignments: bool = False,
+    print_progress: bool = False,
+    combined_progress: bool = False,
+) -> AlignedTranscriptionResult:
+    """Align transcription segments to the audio (reference align() API)."""
+    import pandas as pd
+
+    from ..audio.io import load_audio
+
+    if isinstance(audio, str):
+        audio = load_audio(audio)
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    max_duration = len(audio) / SAMPLE_RATE
+
+    dictionary = align_model_metadata["dictionary"]
+    lang = align_model_metadata["language"]
+    charwise = lang in LANGUAGES_WITHOUT_SPACES
+
+    transcript = list(transcript)
+    total = len(transcript)
+
+    # ---- pass 1: clean text + sentence spans -------------------------------
+    for sdx, segment in enumerate(transcript):
+        if print_progress:
+            base = ((sdx + 1) / total) * 100
+            pct = (50 + base / 2) if combined_progress else base
+            print(f"Progress: {pct:.2f}%...")
+        clean_char, clean_cdx, clean_wdx = _preprocess_segment(
+            segment["text"], dictionary, charwise
+        )
+        segment["clean_char"] = clean_char
+        segment["clean_cdx"] = clean_cdx
+        segment["clean_wdx"] = clean_wdx
+        segment["sentence_spans"] = _sentence_spans(segment["text"])
+
+    # ---- pass 2: batched emissions + trellis for alignable segments -------
+    alignable: List[int] = []
+    slices: List[np.ndarray] = []
+    token_lists: List[List[int]] = []
+    for sdx, segment in enumerate(transcript):
+        if len(segment["clean_char"]) == 0 or segment["start"] >= max_duration:
+            continue
+        f1 = int(segment["start"] * SAMPLE_RATE)
+        f2 = int(segment["end"] * SAMPLE_RATE)
+        wav = audio[f1:f2]
+        if len(wav) < 400:  # wav2vec2 minimum receptive field
+            wav = np.pad(wav, (0, 400 - len(wav)))
+        alignable.append(sdx)
+        slices.append(wav)
+        token_lists.append([dictionary[c] for c in segment["clean_char"]])
+
+    paths_by_sdx = {}
+    frames_by_sdx = {}
+    if alignable:
+        emissions = _batched_emissions(model, slices)
+        # Trellis in sub-batches of uniform padded shape.
+        B = model.max_batch
+        for i in range(0, len(alignable), B):
+            idx = list(range(i, min(i + B, len(alignable))))
+            T_max = max(emissions[j][1] for j in idx)
+            logp = np.stack(
+                [
+                    np.pad(emissions[j][0][:T_max], ((0, max(0, T_max - emissions[j][0][:T_max].shape[0])), (0, 0)))
+                    for j in idx
+                ]
+            )
+            paths = align_tokens_batch(
+                logp,
+                [token_lists[j] for j in idx],
+                [emissions[j][1] for j in idx],
+                blank=model.blank_id,
+            )
+            for row, j in enumerate(idx):
+                paths_by_sdx[alignable[j]] = paths[row]
+                frames_by_sdx[alignable[j]] = emissions[j][1]
+
+    # ---- pass 3: char → word → sentence aggregation ------------------------
+    aligned_segments: List[SingleAlignedSegment] = []
+    for sdx, segment in enumerate(transcript):
+        t1, t2, text = segment["start"], segment["end"], segment["text"]
+        fallback: SingleAlignedSegment = {"start": t1, "end": t2, "text": text, "words": []}
+        if return_char_alignments:
+            fallback["chars"] = []
+
+        if len(segment["clean_char"]) == 0:
+            print(
+                f'Failed to align segment ("{text}"): no characters in this '
+                "segment found in model dictionary, resorting to original..."
+            )
+            aligned_segments.append(fallback)
+            continue
+        if t1 >= max_duration:
+            print(
+                f'Failed to align segment ("{text}"): original start time '
+                "longer than audio duration, skipping..."
+            )
+            aligned_segments.append(fallback)
+            continue
+
+        path = paths_by_sdx.get(sdx)
+        if path is None:
+            print(f'Failed to align segment ("{text}"): backtrack failed, resorting to original...')
+            aligned_segments.append(fallback)
+            continue
+
+        text_clean = "".join(segment["clean_char"])
+        char_spans = merge_repeats(path, text_clean)
+        duration = t2 - t1
+        ratio = duration / frames_by_sdx[sdx]
+
+        # per-char rows over the ORIGINAL text, with word indices
+        rows = []
+        word_idx = 0
+        clean_pos = {cdx: k for k, cdx in enumerate(segment["clean_cdx"])}
+        for cdx, char in enumerate(text):
+            start = end = score = None
+            if cdx in clean_pos:
+                span = char_spans[clean_pos[cdx]]
+                start = round(span.start * ratio + t1, 3)
+                end = round(span.end * ratio + t1, 3)
+                score = round(span.score, 3)
+            rows.append(
+                {"char": char, "start": start, "end": end, "score": score, "word-idx": word_idx}
+            )
+            if charwise:
+                word_idx += 1
+            elif cdx == len(text) - 1 or text[cdx + 1] == " ":
+                word_idx += 1
+
+        char_df = pd.DataFrame(rows)
+        for col in ("start", "end", "score"):
+            char_df[col] = pd.to_numeric(char_df[col], errors="coerce")
+        char_df["sentence-idx"] = None
+
+        subsegments = []
+        for s_idx, (sstart, send) in enumerate(segment["sentence_spans"]):
+            sel = (char_df.index >= sstart) & (char_df.index <= send)
+            char_df.loc[sel, "sentence-idx"] = s_idx
+            curr = char_df.loc[sel]
+            sentence_text = text[sstart:send]
+            sentence_start = curr["start"].min()
+            sentence_end = curr.loc[curr["char"] != " ", "end"].max()
+
+            sentence_words = []
+            for w_idx in curr["word-idx"].unique():
+                word_chars = curr.loc[curr["word-idx"] == w_idx]
+                word_text = "".join(word_chars["char"].tolist()).strip()
+                if len(word_text) == 0:
+                    continue
+                word_chars = word_chars[word_chars["char"] != " "]
+                word_start = word_chars["start"].min()
+                word_end = word_chars["end"].max()
+                word_score = round(word_chars["score"].mean(), 3)
+
+                word_seg = {"word": word_text}
+                if not np.isnan(word_start):
+                    word_seg["start"] = word_start
+                if not np.isnan(word_end):
+                    word_seg["end"] = word_end
+                if not np.isnan(word_score):
+                    word_seg["score"] = word_score
+                sentence_words.append(word_seg)
+
+            sub = {
+                "text": sentence_text,
+                "start": sentence_start,
+                "end": sentence_end,
+                "words": sentence_words,
+            }
+            if return_char_alignments:
+                curr_out = curr[["char", "start", "end", "score"]].fillna(-1).to_dict("records")
+                sub["chars"] = [
+                    {k: v for k, v in c.items() if v != -1} for c in curr_out
+                ]
+            subsegments.append(sub)
+
+        sub_df = pd.DataFrame(subsegments)
+        sub_df["start"] = interpolate_nans(sub_df["start"], method=interpolate_method)
+        sub_df["end"] = interpolate_nans(sub_df["end"], method=interpolate_method)
+        agg = {"text": " ".join, "words": "sum"}
+        if charwise:
+            agg["text"] = "".join
+        if return_char_alignments:
+            agg["chars"] = "sum"
+        sub_df = sub_df.groupby(["start", "end"], as_index=False).agg(agg)
+        aligned_segments += sub_df.to_dict("records")
+
+    word_segments = []
+    for segment in aligned_segments:
+        word_segments += segment["words"]
+    return {"segments": aligned_segments, "word_segments": word_segments}

@@ -49,7 +49,7 @@ class ConvFeatureExtractor(nn.Module):
             if cfg.feat_extract_norm == "group" and i == 0:
                 # Base models: a single GroupNorm(512 groups == per-channel
                 # instance norm) after the first conv.
-                x = nn.GroupNorm(num_groups=dim, dtype=jnp.float32, name=f"norm_{i}")(x)
+                x = nn.GroupNorm(num_groups=dim, epsilon=1e-5, dtype=jnp.float32, name=f"norm_{i}")(x)
             elif cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name=f"norm_{i}")(x)
             x = nn.gelu(x.astype(self.dtype), approximate=False)

@@ -128,9 +128,9 @@ class EncoderBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.attn_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
-        self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mlp = MLP(self.d_model, dtype=self.dtype)
 
     def __call__(self, x: Array) -> Array:
@@ -153,16 +153,22 @@ class AudioEncoder(nn.Module):
             EncoderBlock(cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"layers_{i}")
             for i in range(cfg.n_audio_layer)
         ]
-        self.ln_post = nn.LayerNorm(dtype=jnp.float32)
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        # Sinusoidal positions, held as a parameter (initialized to the fixed
+        # formula) so checkpoint conversion is byte-exact.
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            lambda key, shape, dtype: jnp.asarray(sinusoids(*shape), dtype),
+            (cfg.n_audio_ctx, cfg.n_audio_state),
+            jnp.float32,
+        )
 
     def __call__(self, mel: Array) -> Array:
         """(B, n_mels, 3000) log-mel → (B, 1500, D) audio states."""
-        cfg = self.config
         x = mel.astype(self.dtype).transpose(0, 2, 1)  # (B, T, n_mels): conv over time
         x = nn.gelu(self.conv1(x), approximate=False)
         x = nn.gelu(self.conv2(x), approximate=False)
-        pos = jnp.asarray(sinusoids(cfg.n_audio_ctx, cfg.n_audio_state), dtype=self.dtype)
-        x = x + pos[None, : x.shape[1]]
+        x = x + self.positional_embedding.astype(self.dtype)[None, : x.shape[1]]
         for block in self.layers:
             x = block(x)
         return self.ln_post(x).astype(self.dtype)
@@ -174,11 +180,11 @@ class DecoderBlock(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.attn_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
-        self.cross_attn_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.cross_attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.cross_attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
-        self.mlp_ln = nn.LayerNorm(dtype=jnp.float32)
+        self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mlp = MLP(self.d_model, dtype=self.dtype)
 
     def __call__(self, x, *, self_cache, cache_index, cross_kv, self_mask):
@@ -221,7 +227,7 @@ class TextDecoder(nn.Module):
             DecoderBlock(cfg.n_text_state, cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}")
             for i in range(cfg.n_text_layer)
         ]
-        self.ln = nn.LayerNorm(dtype=jnp.float32)
+        self.ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
 
     def __call__(self, tokens: Array, cache: Cache, cache_index: Array):
         """Decode `tokens` (B, T) starting at absolute position `cache_index`.
