@@ -1,0 +1,138 @@
+"""Aligner tests: rigged-emission timestamp recovery + fallback contracts."""
+
+import numpy as np
+import pytest
+
+from whisperx_tpu.align.alignment import AlignModel, align, test_align_model
+
+SR = 16000
+
+CHARS = ["[pad]", "|", "'"] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+DICT = {c: i for i, c in enumerate(CHARS)}
+V = len(CHARS)
+
+
+class RiggedW2V:
+    """Fake wav2vec2 producing emissions peaked on a planted char sequence.
+
+    The planted alignment spreads the segment's tokens uniformly over frames
+    with blanks in between, so recovered word times are proportional spans.
+    """
+
+    def __init__(self, token_plan):
+        self.token_plan = token_plan  # list per batch row: list[int] tokens
+
+    def apply(self, variables, audio, sample_lengths=None):
+        import jax.numpy as jnp
+
+        B, T = audio.shape
+        frames = (T - 400) // 320 + 1
+        out = np.full((B, frames, V), -10.0, np.float32)
+        for b in range(B):
+            toks = self.token_plan[b]
+            n = len(toks)
+            # token k peaked at frame round((k+0.5)/n * frames), blank elsewhere
+            out[b, :, 0] = -0.01
+            for k, tok in enumerate(toks):
+                f = int((k + 0.5) / n * (frames - 1))
+                out[b, f, 0] = -10.0
+                out[b, f, tok] = -0.01
+        return jnp.asarray(out)
+
+    def feature_lengths(self, sample_lengths):
+        return (sample_lengths - 400) // 320 + 1
+
+
+def _metadata(dictionary=DICT, lang="en"):
+    return {"language": lang, "dictionary": dictionary, "type": "jax"}
+
+
+def test_align_recovers_planted_times():
+    text = " hello world"
+    clean = "hello|world"
+    tokens = [DICT[c] for c in clean]
+    model = AlignModel(RiggedW2V([tokens]), {}, DICT, "en", blank_id=0)
+
+    audio = np.zeros(4 * SR, np.float32)
+    transcript = [{"start": 0.5, "end": 3.5, "text": text}]
+    result = align(transcript, model, _metadata(), audio)
+
+    assert len(result["segments"]) == 1
+    seg = result["segments"][0]
+    words = seg["words"]
+    assert [w["word"] for w in words] == ["hello", "world"]
+    w0, w1 = words
+    # planted: "hello" in the first half of [0.5, 3.5], "world" second half
+    assert 0.4 <= w0["start"] < w0["end"] <= 2.2
+    assert 1.8 <= w1["start"] < w1["end"] <= 3.6
+    assert w0["end"] <= w1["start"] + 0.2
+    assert result["word_segments"] == words
+
+
+def test_align_sentences_split():
+    text = " Good day. Nice cat."
+    clean_chars = [c.lower().replace(" ", "|") for c in text.strip()]
+    tokens = [DICT[c] for c in clean_chars if c in DICT]
+    model = AlignModel(RiggedW2V([tokens]), {}, DICT, "en", blank_id=0)
+    audio = np.zeros(4 * SR, np.float32)
+    result = align([{"start": 0.0, "end": 4.0, "text": text}], model, _metadata(), audio)
+    # Punkt splits into two sentences → two aligned subsegments
+    assert len(result["segments"]) == 2
+    assert result["segments"][0]["text"].strip().startswith("Good")
+    assert result["segments"][1]["text"].strip().startswith("Nice")
+    assert result["segments"][0]["end"] <= result["segments"][1]["start"] + 0.5
+
+
+def test_align_fallback_no_dictionary_chars():
+    model = AlignModel(RiggedW2V([[1]]), {}, DICT, "en", blank_id=0)
+    audio = np.zeros(SR, np.float32)
+    # no spaces either: nothing maps into the model dictionary
+    transcript = [{"start": 0.0, "end": 0.9, "text": "123456"}]
+    result = align(transcript, model, _metadata(), audio)
+    seg = result["segments"][0]
+    assert seg["words"] == []
+    assert seg["start"] == 0.0 and seg["end"] == 0.9
+
+
+def test_align_fallback_start_beyond_audio():
+    model = AlignModel(RiggedW2V([[1]]), {}, DICT, "en", blank_id=0)
+    audio = np.zeros(SR, np.float32)  # 1s
+    transcript = [{"start": 5.0, "end": 6.0, "text": " hello"}]
+    result = align(transcript, model, _metadata(), audio)
+    assert result["segments"][0]["words"] == []
+
+
+def test_align_char_level_output():
+    text = " hi"
+    tokens = [DICT["h"], DICT["i"]]
+    model = AlignModel(RiggedW2V([tokens]), {}, DICT, "en", blank_id=0)
+    audio = np.zeros(2 * SR, np.float32)
+    result = align(
+        [{"start": 0.0, "end": 2.0, "text": text}],
+        model,
+        _metadata(),
+        audio,
+        return_char_alignments=True,
+    )
+    seg = result["segments"][0]
+    assert "chars" in seg
+    timed = [c for c in seg["chars"] if "start" in c]
+    assert len(timed) == 2
+
+
+def test_align_with_random_wav2vec2_smoke():
+    """Full plumbing through the real (random-weight) JAX wav2vec2."""
+    model = test_align_model("en")
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(3 * SR) * 0.1).astype(np.float32)
+    transcript = [
+        {"start": 0.1, "end": 1.4, "text": " hello there"},
+        {"start": 1.5, "end": 2.8, "text": " general kenobi"},
+    ]
+    meta = {"language": "en", "dictionary": model.dictionary, "type": "jax"}
+    result = align(transcript, model, meta, audio)
+    assert len(result["segments"]) >= 2
+    for seg in result["segments"]:
+        for w in seg["words"]:
+            if "start" in w and "end" in w:
+                assert 0.0 <= w["start"] <= w["end"] <= 3.0 + 0.1
