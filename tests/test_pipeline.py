@@ -1,0 +1,96 @@
+"""End-to-end pipeline tests on the miniature random-weight model.
+
+A random model produces garbage text, but the full path — VAD chunking,
+fixed-batch packing, feature extraction, jit'd decode, segment assembly, lazy
+tokenizer semantics — is exercised and contract-checked.
+"""
+
+import numpy as np
+import pytest
+
+from whisperx_tpu.pipeline.asr import load_test_pipeline
+
+SR = 16000
+
+
+def _speechy_audio(seconds=4.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    am = 1 + 0.5 * np.sin(2 * np.pi * 3.1 * t)
+    audio = 0.3 * np.sin(2 * np.pi * 210 * t) * am
+    audio += 0.05 * rng.standard_normal(len(t))
+    # surround with silence
+    pad = np.zeros(SR // 2, np.float32)
+    return np.concatenate([pad, audio.astype(np.float32), pad])
+
+
+def test_transcribe_end_to_end():
+    pipeline = load_test_pipeline(language="en")
+    audio = _speechy_audio()
+    result = pipeline.transcribe(audio, batch_size=2)
+    assert result["language"] == "en"
+    assert len(result["segments"]) >= 1
+    for seg in result["segments"]:
+        assert 0.0 <= seg["start"] < seg["end"] <= len(audio) / SR + 0.1
+        assert isinstance(seg["text"], str)
+
+
+def test_transcribe_empty_audio():
+    pipeline = load_test_pipeline(language="en")
+    result = pipeline.transcribe(np.zeros(SR, np.float32), batch_size=2)
+    assert result["segments"] == []
+
+
+def test_transcribe_batch_padding_consistency():
+    """3 chunks at batch_size 2 → padded final batch must not distort output."""
+    pipeline = load_test_pipeline(language="en")
+    # three separate speech islands → three VAD chunks
+    islands = [_speechy_audio(2.0, seed=s) for s in range(3)]
+    gap = np.zeros(3 * SR, np.float32)
+    audio = np.concatenate([islands[0], gap, islands[1], gap, islands[2]])
+    # chunk_size=5 keeps each island in its own chunk (at 30 they'd all pack
+    # into one window — the merge contract).
+    r2 = pipeline.transcribe(audio, batch_size=2, chunk_size=5)
+    r4 = pipeline.transcribe(audio, batch_size=4, chunk_size=5)
+    texts2 = [(s["text"], s["start"]) for s in r2["segments"]]
+    texts4 = [(s["text"], s["start"]) for s in r4["segments"]]
+    assert texts2 == texts4
+    assert len(texts2) >= 2
+
+
+def test_multilingual_language_detection_resets():
+    pipeline = load_test_pipeline(language=None)
+    audio = _speechy_audio(2.0)
+    result = pipeline.transcribe(audio, batch_size=2)
+    assert isinstance(result["language"], str)
+    # multilingual mode resets tokenizer after each call (reference parity)
+    assert pipeline.tokenizer is None
+
+
+def test_language_override():
+    pipeline = load_test_pipeline(language=None)
+    audio = _speechy_audio(2.0)
+    result = pipeline.transcribe(audio, batch_size=2, language="fr", task="transcribe")
+    assert result["language"] == "fr"
+
+
+def test_detect_language_returns_code():
+    pipeline = load_test_pipeline(language="en")
+    lang = pipeline.detect_language(_speechy_audio(1.0))
+    from whisperx_tpu.io.languages import LANGUAGES
+
+    assert lang in LANGUAGES
+
+
+def test_public_api_surface():
+    import whisperx_tpu
+
+    for name in [
+        "load_model",
+        "load_audio",
+        "align",
+        "load_align_model",
+        "assign_word_speakers",
+        "DiarizationPipeline",
+    ]:
+        assert hasattr(whisperx_tpu, name)

@@ -1,0 +1,353 @@
+"""The ASR pipeline: VAD cut&merge → batched on-device transcription.
+
+API parity with the reference pipeline (whisperx/asr.py:88-357): same
+``load_model(...)`` surface, same ``transcribe(audio, batch_size, ...)``
+contract returning ``{"segments": [{text,start,end}], "language"}``, same
+lazy per-language tokenizer semantics, numeral suppression, and VAD
+onset/offset defaults.
+
+TPU-first differences:
+- Chunks are packed into *fixed-size* batches (the final partial batch is
+  padded and the padding rows discarded) so one compiled program serves the
+  whole file — no recompiles, no DataLoader.
+- log-mel, encoder, and the full beam loop run as one jit per batch; the host
+  only slices waveforms and strings tokens back into text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..audio.constants import N_SAMPLES, SAMPLE_RATE
+from ..audio.io import load_audio
+from ..decode.engine import WhisperEngine
+from ..decode.search import SearchOptions
+from ..decode.tokenizer import WhisperTokenizer
+from ..io.types import SingleSegment, TranscriptionResult
+from ..vad.model import VadPipeline, load_vad_model
+
+
+@dataclass
+class TranscriptionOptions:
+    """Reference-compatible decode options (whisperx/asr.py:300-326 defaults).
+
+    The batched path honors beam_size/patience/length_penalty/suppression and
+    max_new_tokens; the temperature-fallback fields are kept for API parity
+    (the reference's batched path never implements them either —
+    whisperx/asr.py:53-62 does a single beam pass).
+    """
+
+    beam_size: int = 5
+    best_of: int = 5
+    patience: float = 1.0
+    length_penalty: float = 1.0
+    repetition_penalty: float = 1.0
+    no_repeat_ngram_size: int = 0
+    temperatures: Sequence[float] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+    compression_ratio_threshold: Optional[float] = 2.4
+    log_prob_threshold: Optional[float] = -1.0
+    no_speech_threshold: Optional[float] = 0.6
+    condition_on_previous_text: bool = False
+    prompt_reset_on_temperature: float = 0.5
+    initial_prompt: Optional[str] = None
+    prefix: Optional[str] = None
+    suppress_blank: bool = True
+    suppress_tokens: Sequence[int] = (-1,)
+    without_timestamps: bool = True
+    max_initial_timestamp: float = 0.0
+    word_timestamps: bool = False
+    prepend_punctuations: str = "\"'“¿([{-"
+    append_punctuations: str = "\"'.。,，!！?？:：”)]}、"
+    max_new_tokens: Optional[int] = None
+    clip_timestamps: Optional[str] = None
+    hallucination_silence_threshold: Optional[float] = None
+
+
+class WhisperPipeline:
+    """End-to-end transcriber bound to one Whisper model + VAD scorer."""
+
+    def __init__(
+        self,
+        engine: WhisperEngine,
+        params: Any,
+        vad: VadPipeline,
+        vad_params: dict,
+        options: TranscriptionOptions,
+        tokenizer: Optional[WhisperTokenizer] = None,
+        language: Optional[str] = None,
+        suppress_numerals: bool = False,
+    ):
+        self.engine = engine
+        self.params = params
+        self.vad_model = vad
+        self._vad_params = vad_params
+        self.options = options
+        self.tokenizer = tokenizer
+        self.preset_language = language
+        self.suppress_numerals = suppress_numerals
+        self.model = engine.model
+
+    # -- helpers -------------------------------------------------------------
+
+    def _make_tokenizer(self, language: str, task: str) -> WhisperTokenizer:
+        base = self.engine.tokenizer  # carries the text backend
+        return WhisperTokenizer(
+            base.backend,
+            base.layout.n_vocab,
+            base.layout.num_languages,
+            language=language,
+            task=task,
+        )
+
+    def _search_options(self, tokenizer: WhisperTokenizer) -> tuple[SearchOptions, WhisperEngine]:
+        opts = self.options
+        suppress = list(opts.suppress_tokens)
+        if self.suppress_numerals:
+            print("Suppressing numeral and symbol tokens")
+            suppress = sorted(set(list(suppress) + list(numeral_symbol_tokens(tokenizer))))
+        engine = WhisperEngine(self.engine.model, tokenizer)
+        return engine.build_options(
+            beam_size=opts.beam_size,
+            patience=opts.patience,
+            length_penalty=opts.length_penalty,
+            temperature=float(opts.temperatures[0]) if opts.temperatures else 0.0,
+            max_new_tokens=opts.max_new_tokens,
+            suppress_tokens=suppress,
+            suppress_blank=opts.suppress_blank,
+            without_timestamps=opts.without_timestamps,
+        ), engine
+
+    def _feature_batches(self, audio: np.ndarray, chunks: List[dict], batch_size: int):
+        """Yield (mel_batch (B, n_mels, 3000), n_valid) fixed-shape batches."""
+        import jax.numpy as jnp
+
+        from ..audio.mel import log_mel_spectrogram
+
+        n_mels = self.engine.config.n_mels
+        for i in range(0, len(chunks), batch_size):
+            batch = chunks[i : i + batch_size]
+            wavs = np.zeros((batch_size, N_SAMPLES), np.float32)
+            for row, seg in enumerate(batch):
+                f1 = int(seg["start"] * SAMPLE_RATE)
+                f2 = int(seg["end"] * SAMPLE_RATE)
+                clip = audio[f1:f2][:N_SAMPLES]
+                wavs[row, : len(clip)] = clip
+            mel = log_mel_spectrogram(jnp.asarray(wavs), n_mels=n_mels)
+            yield mel.astype(self.engine.model.dtype), len(batch)
+
+    # -- public API ------------------------------------------------------------
+
+    def transcribe(
+        self,
+        audio: Union[str, np.ndarray],
+        batch_size: Optional[int] = None,
+        num_workers: int = 0,
+        language: Optional[str] = None,
+        task: Optional[str] = None,
+        chunk_size: int = 30,
+        print_progress: bool = False,
+        combined_progress: bool = False,
+        verbose: bool = False,
+    ) -> TranscriptionResult:
+        if isinstance(audio, str):
+            audio = load_audio(audio)
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        batch_size = batch_size or 8
+
+        vad_segments = self.vad_model(audio, chunk_size=chunk_size)
+
+        # Lazy tokenizer (re)build — reference semantics (asr.py:193-205).
+        if self.tokenizer is None:
+            language = language or self.detect_language(audio)
+            task = task or "transcribe"
+            self.tokenizer = self._make_tokenizer(language, task)
+        else:
+            language = language or self.tokenizer.language
+            task = task or self.tokenizer.task
+            if task != self.tokenizer.task or language != self.tokenizer.language:
+                self.tokenizer = self._make_tokenizer(language, task)
+
+        search_opts, engine = self._search_options(self.tokenizer)
+
+        segments: List[SingleSegment] = []
+        total = len(vad_segments)
+        done = 0
+        for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
+            result = engine.generate(
+                self.params, mel, options=search_opts,
+                initial_prompt=self.options.initial_prompt,
+            )
+            texts = engine.decode_text(result)[:n_valid]
+            for text in texts:
+                seg = vad_segments[done]
+                if print_progress:
+                    pct = ((done + 1) / total) * 100
+                    print(f"Progress: {(pct / 2 if combined_progress else pct):.2f}%...")
+                if verbose:
+                    print(f"Transcript: [{seg['start']:.3f} --> {seg['end']:.3f}] {text.strip()}")
+                segments.append(
+                    {
+                        "text": text,
+                        "start": round(seg["start"], 3),
+                        "end": round(seg["end"], 3),
+                    }
+                )
+                done += 1
+
+        # Multilingual mode: drop the tokenizer so the next file re-detects.
+        if self.preset_language is None:
+            self.tokenizer = None
+
+        return {"segments": segments, "language": language}
+
+    def detect_language(self, audio: np.ndarray) -> str:
+        import jax.numpy as jnp
+
+        from ..audio.io import pad_or_trim
+        from ..audio.mel import log_mel_spectrogram
+
+        if audio.shape[0] < N_SAMPLES:
+            print("Warning: audio is shorter than 30s, language detection may be inaccurate.")
+        clip = pad_or_trim(audio[:N_SAMPLES])
+        mel = log_mel_spectrogram(
+            jnp.asarray(clip[None]), n_mels=self.engine.config.n_mels
+        ).astype(self.engine.model.dtype)
+        (language, prob), = self.engine.detect_language(self.params, mel)
+        print(f"Detected language: {language} ({prob:.2f}) in first 30s of audio...")
+        return language
+
+
+def numeral_symbol_tokens(tokenizer: WhisperTokenizer) -> list[int]:
+    """Token ids containing digits or currency symbols (asr.py:16-23 parity)."""
+    out = []
+    for i in range(tokenizer.eot):
+        piece = tokenizer.backend.id_to_piece(i)
+        if piece and any(c in "0123456789%$£" for c in piece):
+            out.append(i)
+    return out
+
+
+def load_model(
+    whisper_arch: str,
+    device: Optional[str] = None,
+    device_index: int = 0,
+    compute_type: str = "bfloat16",
+    asr_options: Optional[dict] = None,
+    language: Optional[str] = None,
+    vad_model: Optional[VadPipeline] = None,
+    vad_options: Optional[dict] = None,
+    model: Optional[Any] = None,
+    task: str = "transcribe",
+    download_root: Optional[str] = None,
+    threads: int = 0,
+    checkpoint: Optional[str] = None,
+    vad_checkpoint: Optional[str] = None,
+) -> WhisperPipeline:
+    """Build the transcription pipeline (reference load_model API, asr.py:259).
+
+    ``whisper_arch`` may be a size name ("large-v2") resolved against the
+    local HF cache / ``download_root``, or ``checkpoint`` may point directly
+    at a local HF checkpoint directory. ``compute_type`` maps to the on-device
+    dtype (bfloat16 is the TPU-native choice; "float16"/"float32" accepted).
+    """
+    import jax.numpy as jnp
+
+    from ..models.configs import get_whisper_config
+
+    if whisper_arch.endswith(".en"):
+        language = "en"
+
+    dtype = {
+        "bfloat16": jnp.bfloat16,
+        "float16": jnp.bfloat16,  # TPUs prefer bf16; fp16 requests map there
+        "int8": jnp.bfloat16,
+        "float32": jnp.float32,
+        "default": jnp.bfloat16,
+    }.get(compute_type, jnp.bfloat16)
+
+    from ..models.convert import load_whisper, resolve_checkpoint_dir
+
+    path = checkpoint
+    if path is None:
+        for candidate in (whisper_arch, f"openai/whisper-{whisper_arch}"):
+            try:
+                path = resolve_checkpoint_dir(candidate, download_root)
+                break
+            except FileNotFoundError:
+                continue
+    if path is None:
+        raise FileNotFoundError(
+            f"No local checkpoint for {whisper_arch!r}. Place an HF whisper "
+            "checkpoint dir on disk and pass checkpoint=<dir> (offline loader)."
+        )
+
+    whisper_model, params, config = load_whisper(path, dtype=dtype)
+    tokenizer_backend = WhisperTokenizer.from_pretrained(path, language=language, task=task)
+    engine = WhisperEngine(whisper_model, tokenizer_backend)
+
+    tokenizer = None
+    if language is not None:
+        tokenizer = WhisperTokenizer(
+            tokenizer_backend.backend,
+            config.n_vocab,
+            config.num_languages,
+            language=language,
+            task=task,
+        )
+
+    default_asr = TranscriptionOptions()
+    suppress_numerals = False
+    if asr_options:
+        asr_options = dict(asr_options)
+        suppress_numerals = asr_options.pop("suppress_numerals", False)
+        default_asr = replace(default_asr, **asr_options)
+
+    default_vad_options = {"vad_onset": 0.500, "vad_offset": 0.363}
+    if vad_options:
+        default_vad_options.update(vad_options)
+    if vad_model is None:
+        vad_model = load_vad_model(
+            device,
+            checkpoint=vad_checkpoint,
+            **default_vad_options,
+        )
+
+    return WhisperPipeline(
+        engine=engine,
+        params=params,
+        vad=vad_model,
+        vad_params=default_vad_options,
+        options=default_asr,
+        tokenizer=tokenizer,
+        language=language,
+        suppress_numerals=suppress_numerals,
+    )
+
+
+def load_test_pipeline(
+    *, language: Optional[str] = "en", seed: int = 0, beam_size: int = 1, config=None
+) -> WhisperPipeline:
+    """Random-weight pipeline on the miniature config (tests/benchmarks)."""
+    from ..models.configs import TEST_CONFIG
+    from ..models.whisper import init_whisper_params
+    from ..vad.model import EnergyVAD
+
+    cfg = config or TEST_CONFIG
+    model, params = init_whisper_params(cfg, seed=seed)
+    backend_tok = WhisperTokenizer.dummy(cfg.n_vocab, language=language or "en")
+    engine = WhisperEngine(model, backend_tok)
+    tokenizer = (
+        WhisperTokenizer.dummy(cfg.n_vocab, language=language) if language else None
+    )
+    return WhisperPipeline(
+        engine=engine,
+        params=params,
+        vad=VadPipeline(EnergyVAD()),
+        vad_params={"vad_onset": 0.5, "vad_offset": 0.363},
+        options=TranscriptionOptions(beam_size=beam_size, max_new_tokens=8),
+        tokenizer=tokenizer,
+        language=language,
+    )
