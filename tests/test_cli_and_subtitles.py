@@ -1,0 +1,102 @@
+"""CLI wiring and subtitle post-processor tests."""
+
+import numpy as np
+import pytest
+
+
+def test_cli_parser_flags():
+    from whisperx_tpu.cli import build_parser
+
+    parser = build_parser()
+    args = parser.parse_args(
+        ["a.wav", "--model", "tiny", "--batch_size", "4", "--diarize",
+         "--vad_onset", "0.4", "--suppress_tokens=-1,5", "--language", "fr",
+         "--max_line_width", "40", "--highlight_words", "True"]
+    )
+    assert args.audio == ["a.wav"]
+    assert args.model == "tiny"
+    assert args.batch_size == 4
+    assert args.diarize is True
+    assert args.vad_onset == 0.4
+    assert args.language == "fr"
+    assert args.max_line_width == 40
+    assert args.highlight_words is True
+
+
+def test_cli_end_to_end_with_stub_model(tmp_path, monkeypatch):
+    """Full CLI flow (transcribe→align→write) on the random-weight pipeline."""
+    import whisperx_tpu.cli as cli_mod
+    from whisperx_tpu.align.alignment import test_align_model
+    from whisperx_tpu.audio.io import write_wav
+    from whisperx_tpu.pipeline.asr import load_test_pipeline
+
+    SR = 16000
+    t = np.arange(2 * SR) / SR
+    audio = (0.4 * np.sin(2 * np.pi * 210 * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))).astype(
+        np.float32
+    )
+    wav_path = str(tmp_path / "speech.wav")
+    write_wav(wav_path, audio)
+
+    monkeypatch.setattr(cli_mod, "load_model", lambda *a, **k: load_test_pipeline(language="en"))
+
+    def fake_load_align_model(language, device, model_name=None, **kw):
+        m = test_align_model(language or "en")
+        return m, {"language": language or "en", "dictionary": m.dictionary, "type": "jax"}
+
+    monkeypatch.setattr(cli_mod, "load_align_model", fake_load_align_model)
+
+    cli_mod.cli([wav_path, "--model", "tiny", "--output_dir", str(tmp_path),
+                 "--output_format", "srt", "--language", "en", "--batch_size", "2",
+                 "--verbose", "False"])
+    assert (tmp_path / "speech.srt").exists()
+
+
+def test_subtitles_processor_splits_long_segment(tmp_path):
+    from whisperx_tpu.io.subtitles import SubtitlesProcessor
+
+    words = []
+    t = 0.0
+    text_words = ("the quick brown fox jumps over the lazy dog and runs far away "
+                  "because it saw a hunter near the old barn").split()
+    for w in text_words:
+        words.append({"word": w, "start": round(t, 2), "end": round(t + 0.3, 2)})
+        t += 0.35
+    segments = [{"start": 0.0, "end": t, "text": " ".join(text_words), "words": words}]
+
+    proc = SubtitlesProcessor(segments, "en", max_line_length=30)
+    subs = proc.process_segments(advanced_splitting=True)
+    assert len(subs) >= 2
+    for sub in subs:
+        assert sub["start"] <= sub["end"]
+
+    out = tmp_path / "out.srt"
+    n = proc.save(str(out))
+    content = out.read_text()
+    assert content.count("-->") == n
+
+
+def test_subtitles_estimates_missing_times():
+    from whisperx_tpu.io.subtitles import SubtitlesProcessor
+
+    words = [
+        {"word": "hello", "start": 0.0, "end": 0.4},
+        {"word": "123"},  # unaligned (numeral)
+        {"word": "world", "start": 1.0, "end": 1.4},
+    ]
+    segments = [{"start": 0.0, "end": 1.4, "text": "hello 123 world", "words": words}]
+    proc = SubtitlesProcessor(segments, "en")
+    proc.process_segments(advanced_splitting=True)
+    assert words[1]["start"] == 0.4
+    assert words[1]["end"] == 1.0
+
+
+def test_subtitles_vtt_header(tmp_path):
+    from whisperx_tpu.io.subtitles import SubtitlesProcessor
+
+    segments = [{"start": 0.0, "end": 1.0, "text": "hi", "words": [
+        {"word": "hi", "start": 0.0, "end": 1.0}]}]
+    proc = SubtitlesProcessor(segments, "en", is_vtt=True)
+    out = tmp_path / "o.vtt"
+    proc.save(str(out))
+    assert out.read_text().startswith("WEBVTT")
