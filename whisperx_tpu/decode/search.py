@@ -218,7 +218,17 @@ def beam_decode(
         new_toks = new_toks.at[:, :, step].set(new_tok)
 
         flat_idx = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
-        cache = _gather_cache(cache, flat_idx)
+        # Skip the (large) cache reorder when every batch element kept its
+        # beams in place — the common case once beams stabilize on real
+        # speech. lax.cond executes one branch only, so the identity path
+        # costs a predicate instead of a full cache copy.
+        is_identity = jnp.all(new_beam == jnp.arange(K)[None, :])
+        cache = jax.lax.cond(
+            is_identity,
+            lambda c: c,
+            lambda c: _gather_cache(c, flat_idx),
+            cache,
+        )
 
         step_tokens = new_tok.reshape(B * K, 1).astype(jnp.int32)
         logits, cache = step_fn(step_tokens, cache, prompt_len + step)

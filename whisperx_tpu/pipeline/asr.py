@@ -89,6 +89,9 @@ class WhisperPipeline:
         self.preset_language = language
         self.suppress_numerals = suppress_numerals
         self.model = engine.model
+        from ..utils.telemetry import PipelineTelemetry
+
+        self.telemetry = PipelineTelemetry()
 
     # -- helpers -------------------------------------------------------------
 
@@ -156,8 +159,10 @@ class WhisperPipeline:
             audio = load_audio(audio)
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         batch_size = batch_size or 8
+        total_audio = len(audio) / SAMPLE_RATE
 
-        vad_segments = self.vad_model(audio, chunk_size=chunk_size)
+        with self.telemetry.stage("vad", audio_seconds=total_audio):
+            vad_segments = self.vad_model(audio, chunk_size=chunk_size)
 
         # Lazy tokenizer (re)build — reference semantics (asr.py:193-205).
         if self.tokenizer is None:
@@ -176,11 +181,16 @@ class WhisperPipeline:
         total = len(vad_segments)
         done = 0
         for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
-            result = engine.generate(
-                self.params, mel, options=search_opts,
-                initial_prompt=self.options.initial_prompt,
+            batch_audio_s = sum(
+                vad_segments[done + j]["end"] - vad_segments[done + j]["start"]
+                for j in range(n_valid)
             )
-            texts = engine.decode_text(result)[:n_valid]
+            with self.telemetry.stage("asr_decode", audio_seconds=batch_audio_s):
+                result = engine.generate(
+                    self.params, mel, options=search_opts,
+                    initial_prompt=self.options.initial_prompt,
+                )
+                texts = engine.decode_text(result)[:n_valid]
             for text in texts:
                 seg = vad_segments[done]
                 if print_progress:
