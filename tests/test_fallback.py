@@ -1,0 +1,60 @@
+"""Temperature-fallback and silence-gate behavior."""
+
+import numpy as np
+
+from whisperx_tpu.pipeline.asr import load_test_pipeline
+
+SR = 16000
+
+
+def _audio(seconds=3.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    x = 0.3 * np.sin(2 * np.pi * 200 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    return (x + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_fallback_disabled_by_default():
+    pipeline = load_test_pipeline(language="en")
+    assert pipeline.options.enable_fallback is False
+    result = pipeline.transcribe(_audio(), batch_size=2)
+    assert isinstance(result["segments"], list)
+
+
+def test_fallback_runs_and_produces_output():
+    pipeline = load_test_pipeline(language="en")
+    # aggressive thresholds: every chunk fails and goes through the ladder
+    pipeline.options.enable_fallback = True
+    pipeline.options.log_prob_threshold = 0.0  # avg logprob always < 0
+    pipeline.options.no_speech_threshold = None
+    pipeline.options.temperatures = (0.0, 0.5)
+    result = pipeline.transcribe(_audio(), batch_size=2)
+    assert len(result["segments"]) >= 1  # still yields segments, re-decoded
+
+
+def test_silence_gate_empties_text():
+    pipeline = load_test_pipeline(language="en")
+    pipeline.options.enable_fallback = True
+    pipeline.options.temperatures = (0.0,)
+    # thresholds that always trigger: every chunk counted silent
+    pipeline.options.no_speech_threshold = -1.0  # any prob > -1
+    pipeline.options.log_prob_threshold = 100.0  # any avg_lp < 100
+    result = pipeline.transcribe(_audio(), batch_size=2)
+    for seg in result["segments"]:
+        assert seg["text"] == ""
+
+
+def test_no_speech_probs_exposed():
+    pipeline = load_test_pipeline(language="en")
+    import jax.numpy as jnp
+
+    from whisperx_tpu.audio.mel import log_mel_spectrogram
+
+    audio = _audio(1.0)
+    from whisperx_tpu.audio.io import pad_or_trim
+
+    mel = log_mel_spectrogram(jnp.asarray(pad_or_trim(audio)[None]), n_mels=80)
+    opts = pipeline.engine.build_options(beam_size=1, max_new_tokens=4)
+    out = pipeline.engine.generate(pipeline.params, mel, options=opts)
+    assert out.no_speech_probs is not None
+    assert 0.0 <= float(out.no_speech_probs[0]) <= 1.0

@@ -28,6 +28,7 @@ class DecodeResult:
     tokens: np.ndarray  # (B, max_new) int32, EOT padded
     sum_logprobs: np.ndarray  # (B,)
     lengths: np.ndarray  # (B,)
+    no_speech_probs: Optional[np.ndarray] = None  # (B,) prob of <|nospeech|> at SOT
 
     @property
     def avg_logprobs(self) -> np.ndarray:
@@ -48,7 +49,12 @@ class WhisperEngine:
         return self.model.apply({"params": params}, mel, method=Whisper.encode)
 
     def _prompt_cache(self, params, audio_states, prompt_tokens, cache_len: int = 0):
-        """Run the prompt through the decoder, returning last logits + cache."""
+        """Run the prompt through the decoder.
+
+        Returns (last-position logits, cache, no_speech_prob), where
+        no_speech_prob is softmax(logits at the SOT position)[<|nospeech|>] —
+        the whisper-standard silence signal consumed by the fallback logic.
+        """
         B = audio_states.shape[0]
         cache = self.model.empty_cache(B, cache_dtype=self.model.dtype, cache_len=cache_len)
         cache["cross"] = self.model.apply(
@@ -57,7 +63,11 @@ class WhisperEngine:
         logits, cache = self.model.apply(
             {"params": params}, prompt_tokens, cache, jnp.int32(0), method=Whisper.decode_step
         )
-        return logits[:, -1], cache
+        layout = self.tokenizer.layout
+        sot_pos = jnp.argmax((prompt_tokens[0] == layout.sot).astype(jnp.int32))
+        sot_logits = jax.lax.dynamic_index_in_dim(logits, sot_pos, axis=1, keepdims=False)
+        no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, layout.no_speech]
+        return logits[:, -1], cache, no_speech_prob
 
     def _step_fn(self, params):
         def step(tokens, cache, pos):
@@ -80,19 +90,20 @@ class WhisperEngine:
     def decode_greedy(self, params, mel, prompt_tokens, opts: SearchOptions, rng=None):
         """(B, n_mels, 3000) features + (B, P) prompt → greedy tokens."""
         audio_states = self._encode(params, mel)
-        init_logits, cache = self._prompt_cache(
+        init_logits, cache, no_speech = self._prompt_cache(
             params, audio_states, prompt_tokens, self._cache_len(prompt_tokens.shape[1], opts)
         )
-        return greedy_decode(
+        tokens, sum_lp, lengths = greedy_decode(
             self._step_fn(params), init_logits, cache, prompt_tokens.shape[1], opts, rng
         )
+        return tokens, sum_lp, lengths, no_speech
 
     @functools.partial(jax.jit, static_argnames=("self", "opts"))
     def decode_beam(self, params, mel, prompt_tokens, opts: SearchOptions):
         """(B, n_mels, 3000) features + (B, P) prompt → beam-searched tokens."""
         K = opts.beam_size
         audio_states = self._encode(params, mel)
-        init_logits, cache = self._prompt_cache(
+        init_logits, cache, no_speech = self._prompt_cache(
             params, audio_states, prompt_tokens, self._cache_len(prompt_tokens.shape[1], opts)
         )
         # Replicate only the prompt-filled *self* cache per beam:
@@ -101,7 +112,10 @@ class WhisperEngine:
             "self": jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache["self"]),
             "cross": cache["cross"],
         }
-        return beam_decode(self._step_fn(params), init_logits, expanded, prompt_tokens.shape[1], opts)
+        tokens, sum_lp, lengths = beam_decode(
+            self._step_fn(params), init_logits, expanded, prompt_tokens.shape[1], opts
+        )
+        return tokens, sum_lp, lengths, no_speech
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def language_logits(self, params, mel):
@@ -109,7 +123,7 @@ class WhisperEngine:
         layout = self.tokenizer.layout
         audio_states = self._encode(params, mel)
         sot = jnp.full((mel.shape[0], 1), layout.sot, jnp.int32)
-        logits, _ = self._prompt_cache(params, audio_states, sot)
+        logits, _, _ = self._prompt_cache(params, audio_states, sot)
         lang_ids = jnp.arange(layout.sot + 1, layout.sot + 1 + layout.num_languages)
         return logits[:, lang_ids], lang_ids
 
@@ -217,11 +231,14 @@ class WhisperEngine:
         opts = options or self.build_options()
         prompt = self.build_prompt(mel.shape[0], initial_prompt=initial_prompt)
         if opts.beam_size > 1 and opts.temperature == 0.0:
-            tokens, sum_lp, lengths = self.decode_beam(params, mel, prompt, opts)
+            tokens, sum_lp, lengths, no_speech = self.decode_beam(params, mel, prompt, opts)
         else:
-            tokens, sum_lp, lengths = self.decode_greedy(params, mel, prompt, opts, rng)
+            tokens, sum_lp, lengths, no_speech = self.decode_greedy(params, mel, prompt, opts, rng)
         return DecodeResult(
-            tokens=np.asarray(tokens), sum_logprobs=np.asarray(sum_lp), lengths=np.asarray(lengths)
+            tokens=np.asarray(tokens),
+            sum_logprobs=np.asarray(sum_lp),
+            lengths=np.asarray(lengths),
+            no_speech_probs=np.asarray(no_speech),
         )
 
     def decode_text(self, result: DecodeResult) -> list[str]:

@@ -64,6 +64,13 @@ class TranscriptionOptions:
     max_new_tokens: Optional[int] = None
     clip_timestamps: Optional[str] = None
     hallucination_silence_threshold: Optional[float] = None
+    # Extension over the reference: the reference's batched path *ignores* its
+    # temperature/threshold options (whisperx/asr.py:53-62 does a single beam
+    # pass). With enable_fallback=True this pipeline actually implements the
+    # whisper-style quality gate — failed chunks are re-decoded at the next
+    # temperature, batched; silent chunks (<|nospeech|> + low logprob) are
+    # dropped. Default False for reference-parity output.
+    enable_fallback: bool = False
 
 
 class WhisperPipeline:
@@ -177,8 +184,10 @@ class WhisperPipeline:
 
         search_opts, engine = self._search_options(self.tokenizer)
 
-        segments: List[SingleSegment] = []
         total = len(vad_segments)
+        texts: List[str] = [""] * total
+        avg_lps = np.zeros(total)
+        no_speech = np.zeros(total)
         done = 0
         for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
             batch_audio_s = sum(
@@ -190,28 +199,100 @@ class WhisperPipeline:
                     self.params, mel, options=search_opts,
                     initial_prompt=self.options.initial_prompt,
                 )
-                texts = engine.decode_text(result)[:n_valid]
-            for text in texts:
-                seg = vad_segments[done]
-                if print_progress:
-                    pct = ((done + 1) / total) * 100
-                    print(f"Progress: {(pct / 2 if combined_progress else pct):.2f}%...")
-                if verbose:
-                    print(f"Transcript: [{seg['start']:.3f} --> {seg['end']:.3f}] {text.strip()}")
-                segments.append(
-                    {
-                        "text": text,
-                        "start": round(seg["start"], 3),
-                        "end": round(seg["end"], 3),
-                    }
+                batch_texts = engine.decode_text(result)[:n_valid]
+            for j, text in enumerate(batch_texts):
+                texts[done + j] = text
+                avg_lps[done + j] = result.avg_logprobs[j]
+                if result.no_speech_probs is not None:
+                    no_speech[done + j] = result.no_speech_probs[j]
+            done += n_valid
+            if print_progress:
+                pct = (done / total) * 100
+                print(f"Progress: {(pct / 2 if combined_progress else pct):.2f}%...")
+
+        if self.options.enable_fallback:
+            texts = self._temperature_fallback(
+                engine, search_opts, audio, vad_segments, texts, avg_lps, no_speech, batch_size
+            )
+
+        segments: List[SingleSegment] = []
+        for idx, seg in enumerate(vad_segments):
+            if verbose:
+                print(
+                    f"Transcript: [{seg['start']:.3f} --> {seg['end']:.3f}] {texts[idx].strip()}"
                 )
-                done += 1
+            segments.append(
+                {
+                    "text": texts[idx],
+                    "start": round(seg["start"], 3),
+                    "end": round(seg["end"], 3),
+                }
+            )
 
         # Multilingual mode: drop the tokenizer so the next file re-detects.
         if self.preset_language is None:
             self.tokenizer = None
 
         return {"segments": segments, "language": language}
+
+    def _temperature_fallback(
+        self, engine, search_opts, audio, vad_segments, texts, avg_lps, no_speech, batch_size
+    ):
+        """Whisper-style quality gate over the batched results.
+
+        Chunks failing the compression-ratio or avg-logprob thresholds are
+        re-decoded at the next temperature (sampling, beam off), batched.
+        Chunks flagged silent (<|nospeech|> prob above threshold AND low
+        logprob) end up with empty text.
+        """
+        import jax
+
+        from ..utils import compression_ratio
+
+        opts = self.options
+        cr_thr = opts.compression_ratio_threshold
+        lp_thr = opts.log_prob_threshold
+        ns_thr = opts.no_speech_threshold
+
+        def failed(idx: int) -> bool:
+            if cr_thr is not None and texts[idx].strip() and compression_ratio(texts[idx]) > cr_thr:
+                return True
+            if lp_thr is not None and avg_lps[idx] < lp_thr:
+                return True
+            return False
+
+        pending = [i for i in range(len(texts)) if failed(i)]
+        temperatures = [t for t in opts.temperatures if t > 0]
+        for t_i, temp in enumerate(temperatures):
+            if not pending:
+                break
+            import dataclasses
+
+            fb_opts = dataclasses.replace(search_opts, beam_size=1, temperature=float(temp))
+            retry_segments = [vad_segments[i] for i in pending]
+            new_texts: List[str] = []
+            new_lps: List[float] = []
+            done = 0
+            for mel, n_valid in self._feature_batches(audio, retry_segments, batch_size):
+                result = engine.generate(
+                    self.params, mel, options=fb_opts,
+                    initial_prompt=opts.initial_prompt,
+                    rng=jax.random.PRNGKey(hash((t_i, done)) & 0x7FFFFFFF),
+                )
+                new_texts.extend(engine.decode_text(result)[:n_valid])
+                new_lps.extend(result.avg_logprobs[:n_valid].tolist())
+                done += n_valid
+            for row, idx in enumerate(pending):
+                texts[idx] = new_texts[row]
+                avg_lps[idx] = new_lps[row]
+            pending = [i for i in pending if failed(i)]
+
+        # Silence gate: no-speech prob high AND decode confidence low → empty.
+        if ns_thr is not None and lp_thr is not None:
+            for i in range(len(texts)):
+                if no_speech[i] > ns_thr and avg_lps[i] < lp_thr:
+                    texts[i] = ""
+        return texts
 
     def detect_language(self, audio: np.ndarray) -> str:
         import jax.numpy as jnp
