@@ -39,7 +39,8 @@ def main():
     tokenizer = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
     engine = WhisperEngine(model, tokenizer)
 
-    opts = engine.build_options(beam_size=beam, max_new_tokens=max_new)
+    kv = os.environ.get("BENCH_KV", "model")
+    opts = engine.build_options(beam_size=beam, max_new_tokens=max_new, kv_cache_dtype=kv)
     # Ban EOT: random weights would otherwise terminate unrealistically early;
     # this forces the full per-segment decode horizon.
     import dataclasses

@@ -133,3 +133,32 @@ def test_sampling_with_temperature(engine_and_params):
     b = engine.generate(params, mel, options=opts, rng=jax.random.PRNGKey(1))
     # Different seeds should (overwhelmingly) sample different sequences.
     assert a.tokens.shape == b.tokens.shape
+
+
+def test_int8_kv_cache_close_to_bf16(engine_and_params):
+    """int8-quantized KV cache must track the full-precision decode."""
+    engine, params = engine_and_params
+    mel = _mel(2)
+    full = engine.generate(
+        params, mel, options=engine.build_options(beam_size=1, max_new_tokens=8)
+    )
+    quant = engine.generate(
+        params, mel,
+        options=engine.build_options(beam_size=1, max_new_tokens=8, kv_cache_dtype="int8"),
+    )
+    assert quant.tokens.shape == full.tokens.shape
+    # Random tiny models have near-flat logits, so exact token agreement is
+    # not guaranteed — but scores must stay close.
+    assert np.all(np.isfinite(quant.sum_logprobs))
+    agree = (quant.tokens == full.tokens).mean()
+    assert agree > 0.5
+
+
+def test_int8_kv_beam_runs(engine_and_params):
+    engine, params = engine_and_params
+    mel = _mel(2)
+    out = engine.generate(
+        params, mel,
+        options=engine.build_options(beam_size=3, max_new_tokens=6, kv_cache_dtype="int8"),
+    )
+    assert out.tokens.shape == (2, 6)

@@ -48,18 +48,31 @@ class WhisperEngine:
     def _encode(self, params, mel):
         return self.model.apply({"params": params}, mel, method=Whisper.encode)
 
-    def _prompt_cache(self, params, audio_states, prompt_tokens, cache_len: int = 0):
+    def _prompt_cache(
+        self, params, audio_states, prompt_tokens, cache_len: int = 0, kv_int8: bool = False
+    ):
         """Run the prompt through the decoder.
 
         Returns (last-position logits, cache, no_speech_prob), where
         no_speech_prob is softmax(logits at the SOT position)[<|nospeech|>] —
         the whisper-standard silence signal consumed by the fallback logic.
         """
+        import jax.numpy as jnp
+
+        from ..models.whisper import quantize_kv
+
         B = audio_states.shape[0]
-        cache = self.model.empty_cache(B, cache_dtype=self.model.dtype, cache_len=cache_len)
-        cache["cross"] = self.model.apply(
+        cache_dtype = jnp.int8 if kv_int8 else self.model.dtype
+        cache = self.model.empty_cache(B, cache_dtype=cache_dtype, cache_len=cache_len)
+        cross = self.model.apply(
             {"params": params}, audio_states, method=Whisper.compute_cross_kv
         )
+        if kv_int8:
+            cross = [
+                (lambda qk, ks, qv, vs: (qk, ks, qv, vs))(*quantize_kv(k), *quantize_kv(v))
+                for (k, v) in cross
+            ]
+        cache["cross"] = cross
         logits, cache = self.model.apply(
             {"params": params}, prompt_tokens, cache, jnp.int32(0), method=Whisper.decode_step
         )
@@ -91,7 +104,9 @@ class WhisperEngine:
         """(B, n_mels, 3000) features + (B, P) prompt → greedy tokens."""
         audio_states = self._encode(params, mel)
         init_logits, cache, no_speech = self._prompt_cache(
-            params, audio_states, prompt_tokens, self._cache_len(prompt_tokens.shape[1], opts)
+            params, audio_states, prompt_tokens,
+            self._cache_len(prompt_tokens.shape[1], opts),
+            kv_int8=opts.kv_cache_dtype == "int8",
         )
         tokens, sum_lp, lengths = greedy_decode(
             self._step_fn(params), init_logits, cache, prompt_tokens.shape[1], opts, rng
@@ -104,7 +119,9 @@ class WhisperEngine:
         K = opts.beam_size
         audio_states = self._encode(params, mel)
         init_logits, cache, no_speech = self._prompt_cache(
-            params, audio_states, prompt_tokens, self._cache_len(prompt_tokens.shape[1], opts)
+            params, audio_states, prompt_tokens,
+            self._cache_len(prompt_tokens.shape[1], opts),
+            kv_int8=opts.kv_cache_dtype == "int8",
         )
         # Replicate only the prompt-filled *self* cache per beam:
         # (B, ...) -> (B*K, ...). Cross K/V stay per batch element.
@@ -151,6 +168,7 @@ class WhisperEngine:
         suppress_tokens: Sequence[int] = (-1,),
         suppress_blank: bool = True,
         without_timestamps: bool = True,
+        kv_cache_dtype: str = "model",
     ) -> SearchOptions:
         """Resolve reference-style options into a static SearchOptions.
 
@@ -197,6 +215,7 @@ class WhisperEngine:
             blank_tokens=blank,
             eot=layout.eot,
             banned_tokens=tuple(banned),
+            kv_cache_dtype=kv_cache_dtype,
         )
 
     def build_prompt(
