@@ -50,8 +50,10 @@ WHISPER_RULES: tuple[tuple[str, P], ...] = (
 )
 
 W2V2_RULES: tuple[tuple[str, P], ...] = (
-    ("*/attention/*_proj/kernel", P(None, "model")),
+    # out_proj first: the generic *_proj pattern below would otherwise match
+    # it (first rule wins) and give the row-parallel matmul a column spec.
     ("*/attention/out_proj/kernel", P("model", None)),
+    ("*/attention/*_proj/kernel", P(None, "model")),
     ("*/feed_forward/intermediate/kernel", P(None, "model")),
     ("*/feed_forward/intermediate/bias", P("model")),
     ("*/feed_forward/output/kernel", P("model", None)),
