@@ -36,6 +36,10 @@ def main():
 
     cfg = get_whisper_config(model_name)
     model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_QUANT", "") == "int8":
+        from whisperx_tpu.models.whisper import quantize_whisper
+
+        model, params = quantize_whisper(model, params)
     tokenizer = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
     engine = WhisperEngine(model, tokenizer)
 

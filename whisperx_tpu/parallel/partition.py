@@ -43,8 +43,18 @@ WHISPER_RULES: tuple[tuple[str, P], ...] = (
     ("*/mlp/fc1/kernel", P(None, "model")),
     ("*/mlp/fc1/bias", P("model")),
     ("*/mlp/fc2/kernel", P("model", None)),
-    # Embeddings: shard the vocab/feature table rows.
+    # int8 weight-only scales follow their kernel's output-dim sharding:
+    # column-parallel kernels shard the (out,) scale, row-parallel replicate.
+    ("*/attn/query/kernel_scale", P("model")),
+    ("*/attn/key/kernel_scale", P("model")),
+    ("*/attn/value/kernel_scale", P("model")),
+    ("*/cross_attn/query/kernel_scale", P("model")),
+    ("*/cross_attn/key/kernel_scale", P("model")),
+    ("*/cross_attn/value/kernel_scale", P("model")),
+    ("*/mlp/fc1/kernel_scale", P("model")),
+    # Embeddings: shard the vocab/feature table rows (and per-row scales).
     ("*token_embedding", P("model", None)),
+    ("*token_embedding_scale", P("model")),
     # Everything else (LayerNorm scales, conv kernels, out/fc2 biases,
     # positional embeddings) is replicated.
 )

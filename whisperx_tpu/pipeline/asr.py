@@ -376,6 +376,12 @@ def load_model(
         )
 
     whisper_model, params, config = load_whisper(path, dtype=dtype)
+    if compute_type == "int8":
+        # Weight-only int8 (per-output-channel scales): the TPU analogue of
+        # the reference's CT2 compute_type="int8" (whisperx/asr.py:262,288).
+        from ..models.whisper import quantize_whisper
+
+        whisper_model, params = quantize_whisper(whisper_model, params)
     tokenizer_backend = WhisperTokenizer.from_pretrained(path, language=language, task=task)
     engine = WhisperEngine(whisper_model, tokenizer_backend)
 
