@@ -92,3 +92,13 @@ def test_quantized_partition_specs():
     # Row-parallel matmuls keep replicated scales.
     assert _spec_for("decoder/layers_0/attn/out/kernel_scale", WHISPER_RULES) == P()
     assert _spec_for("decoder/token_embedding_scale", WHISPER_RULES) == P("model")
+
+
+def test_distil_configs():
+    """distil-whisper family: full encoder, shallow decoder (configs.py)."""
+    from whisperx_tpu.models.configs import get_whisper_config
+
+    c = get_whisper_config("distil-large-v3")
+    assert (c.n_audio_layer, c.n_text_layer, c.n_mels, c.n_vocab) == (32, 2, 128, 51866)
+    assert get_whisper_config("distil-small.en").n_text_layer == 4
+    assert get_whisper_config("distil-medium.en").n_vocab == 51864

@@ -70,6 +70,21 @@ WHISPER_CONFIGS["large-v3-turbo"] = dataclasses.replace(
 )
 WHISPER_CONFIGS["turbo"] = WHISPER_CONFIGS["large-v3-turbo"]
 
+# distil-whisper: full encoder, 2-layer decoder (4 for distil-small.en) —
+# the reference reaches these through faster-whisper model names too.
+WHISPER_CONFIGS["distil-large-v2"] = dataclasses.replace(
+    WHISPER_CONFIGS["large-v2"], name="distil-large-v2", n_text_layer=2
+)
+WHISPER_CONFIGS["distil-large-v3"] = dataclasses.replace(
+    WHISPER_CONFIGS["large-v3"], name="distil-large-v3", n_text_layer=2
+)
+WHISPER_CONFIGS["distil-medium.en"] = dataclasses.replace(
+    WHISPER_CONFIGS["medium.en"], name="distil-medium.en", n_text_layer=2
+)
+WHISPER_CONFIGS["distil-small.en"] = dataclasses.replace(
+    WHISPER_CONFIGS["small.en"], name="distil-small.en", n_text_layer=4
+)
+
 # A miniature config for unit tests: full architecture, trivial sizes.
 TEST_CONFIG = WhisperConfig(
     name="test",

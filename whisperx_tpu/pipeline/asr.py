@@ -363,7 +363,11 @@ def load_model(
 
     path = checkpoint
     if path is None:
-        for candidate in (whisper_arch, f"openai/whisper-{whisper_arch}"):
+        for candidate in (
+            whisper_arch,
+            f"openai/whisper-{whisper_arch}",
+            f"distil-whisper/{whisper_arch}",
+        ):
             try:
                 path = resolve_checkpoint_dir(candidate, download_root)
                 break
