@@ -64,3 +64,26 @@ def test_train_step_reduces_loss():
         losses.append(float(loss))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
     assert np.isfinite(losses).all()
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """int8 + fp32-scale trees survive the safetensors roundtrip unchanged."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params, quantize_params
+    from whisperx_tpu.utils.checkpoint import load_params, save_params
+
+    _, params = init_whisper_params(TEST_CONFIG, seed=0)
+    qparams = quantize_params(params)
+    path = str(tmp_path / "q.safetensors")
+    save_params(qparams, path)
+    loaded = load_params(path)
+    k0 = qparams["decoder"]["layers_0"]["attn"]["query"]
+    l0 = loaded["decoder"]["layers_0"]["attn"]["query"]
+    assert l0["kernel"].dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(k0["kernel"]), np.asarray(l0["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(k0["kernel_scale"]), np.asarray(l0["kernel_scale"])
+    )

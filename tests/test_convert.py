@@ -156,3 +156,56 @@ def test_wav2vec2_stable_layernorm_parity():
     model = Wav2Vec2ForCTC(cfg)
     ours = np.asarray(model.apply({"params": params}, jnp.asarray(audio)))
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-4)
+
+
+def test_whisper_distil_style_conversion_parity():
+    """Asymmetric encoder/decoder depths (distil-whisper shape) convert and
+    match the torch forward — guards the converter against assuming
+    n_audio_layer == n_text_layer."""
+    from transformers import WhisperConfig as HFWhisperConfig
+    from transformers import WhisperForConditionalGeneration
+
+    from whisperx_tpu.models.convert import convert_whisper, whisper_config_from_hf
+    from whisperx_tpu.models.whisper import Whisper
+
+    hf_cfg = HFWhisperConfig(
+        vocab_size=1000,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=3,
+        encoder_attention_heads=2,
+        decoder_layers=1,
+        decoder_attention_heads=2,
+        decoder_ffn_dim=256,
+        encoder_ffn_dim=256,
+        max_source_positions=32,
+        max_target_positions=48,
+        pad_token_id=0,
+        bos_token_id=0,
+        eos_token_id=1,
+        decoder_start_token_id=2,
+    )
+    torch.manual_seed(1)
+    hf_model = WhisperForConditionalGeneration(hf_cfg).eval()
+
+    cfg = whisper_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.n_audio_layer, cfg.n_text_layer) == (3, 1)
+    sd = {k: v.numpy() for k, v in hf_model.state_dict().items()}
+    params = convert_whisper(sd, cfg)
+
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((1, 80, 64)).astype(np.float32)
+    tokens = rng.integers(0, 1000, (1, 5)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.from_numpy(tokens),
+        ).logits.numpy()
+
+    import jax.numpy as jnp
+
+    model = Whisper(cfg)
+    ours = np.asarray(
+        model.apply({"params": params}, jnp.asarray(mel), jnp.asarray(tokens.astype(np.int32)))
+    )
+    np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-4)
