@@ -159,11 +159,18 @@ def align_tokens_batch(
     token_lists: List[List[int]],
     t_lens: List[int],
     blank: int = 0,
+    backend: str = None,
 ):
     """Device trellis + host backtrack for a padded batch of segments.
 
+    ``backend`` selects the trellis implementation: "scan" (lax.scan, any
+    platform) or "pallas" (the VMEM-resident TPU kernel in ops/pallas_ctc).
+    Defaults to $WHISPERX_CTC_BACKEND or "scan".
     Returns a list (one per segment) of path lists (or None on failure).
     """
+    import os
+
+    backend = backend or os.environ.get("WHISPERX_CTC_BACKEND", "scan")
     B, T, V = log_probs.shape
     N = max((len(t) for t in token_lists), default=1)
     tokens = np.zeros((B, N), np.int32)
@@ -172,8 +179,18 @@ def align_tokens_batch(
         tokens[i, : len(tl)] = tl
         n_len[i] = len(tl)
 
+    if backend == "pallas":
+        from .pallas_ctc import ctc_trellis_pallas
+
+        trellis_fn = functools.partial(
+            ctc_trellis_pallas,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        trellis_fn = ctc_trellis_batch
+
     trellis = np.asarray(
-        ctc_trellis_batch(
+        trellis_fn(
             jnp.asarray(log_probs), jnp.asarray(tokens), jnp.asarray(t_lens, dtype=jnp.int32),
             jnp.asarray(n_len), blank=blank,
         )
