@@ -21,18 +21,12 @@ import numpy as np
 def main():
     import jax
 
+    from whisperx_tpu.utils import enable_compile_cache
+
     # Persistent compilation cache: large-v2 compiles take tens of minutes
     # through the TPU relay; caching makes repeat benches (A/B of kv/quant
-    # options, driver re-runs) near-instant. Harmless if the backend does
-    # not support serialization.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/whisperx_tpu_xla")),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    # options, driver re-runs) near-instant.
+    enable_compile_cache()
 
     import jax.numpy as jnp
 

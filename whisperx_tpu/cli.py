@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cli(argv=None):
+    from .utils import enable_compile_cache
+
+    enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv).__dict__
 

@@ -104,3 +104,28 @@ __all__ = [
     "format_timestamp",
     "interpolate_nans",
 ]
+
+
+def enable_compile_cache(path: str = None, min_compile_secs: float = 5.0) -> None:
+    """Turn on JAX's persistent compilation cache.
+
+    Large-model jit signatures take tens of minutes to compile through a
+    remote TPU relay; caching them on disk makes process restarts (CLI runs,
+    benchmark re-runs) near-instant. Safe no-op on backends that cannot
+    serialize executables.
+    """
+    import os
+
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path
+            or os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/whisperx_tpu_xla")
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+    except Exception:
+        pass
