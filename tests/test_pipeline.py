@@ -94,3 +94,21 @@ def test_public_api_surface():
         "DiarizationPipeline",
     ]:
         assert hasattr(whisperx_tpu, name)
+
+
+def test_suppress_numerals_masks_digit_tokens():
+    """suppress_numerals adds digit/currency tokens to the static suppress
+    mask (reference asr.py:207-213, find_numeral_symbol_tokens asr.py:16-23)."""
+    from whisperx_tpu.pipeline.asr import load_test_pipeline, numeral_symbol_tokens
+
+    p = load_test_pipeline(language="en", beam_size=1)
+    p.suppress_numerals = True
+    tok = p._make_tokenizer("en", "transcribe")
+    opts, _ = p._search_options(tok)
+    numerals = numeral_symbol_tokens(tok)
+    assert numerals, "dummy tokenizer should expose numeral pieces"
+    assert set(numerals) <= set(opts.suppress_tokens)
+    # And without the flag they are absent.
+    p.suppress_numerals = False
+    opts2, _ = p._search_options(tok)
+    assert not (set(numerals) & set(opts2.suppress_tokens))

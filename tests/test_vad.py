@@ -134,3 +134,26 @@ def test_neural_vad_shapes():
     assert vs.scores.shape == vs.timestamps.shape
     assert (vs.scores >= 0).all() and (vs.scores <= 1).all()
     assert abs(vs.timestamps[1] - vs.timestamps[0] - 270 / 16000) < 1e-6
+
+
+def test_merge_vad_pads_and_fills_gaps():
+    """merge_vad (reference vad.py:243-262): pad, gap-fill, min-duration."""
+    from whisperx_tpu.vad import merge_vad
+
+    segs = [(1.0, 2.0), (2.3, 3.0), (5.0, 5.05)]
+    turns = merge_vad(segs, pad_onset=0.1, pad_offset=0.1, min_duration_off=0.5)
+    # First two merge (gap 0.3-0.2 padding < 0.5); third stays.
+    assert len(turns) == 2
+    assert abs(turns[0].start - 0.9) < 1e-9 and abs(turns[0].end - 3.1) < 1e-9
+    # min_duration_on filters the short tail turn.
+    turns = merge_vad(segs, pad_onset=0.1, pad_offset=0.1, min_duration_off=0.5,
+                      min_duration_on=0.5)
+    assert len(turns) == 1
+
+
+def test_merge_vad_no_options_passthrough():
+    from whisperx_tpu.vad import merge_vad
+
+    segs = [(3.0, 4.0), (1.0, 2.0)]
+    turns = merge_vad(segs)
+    assert [(t.start, t.end) for t in turns] == [(1.0, 2.0), (3.0, 4.0)]
