@@ -136,3 +136,29 @@ def test_align_with_random_wav2vec2_smoke():
         for w in seg["words"]:
             if "start" in w and "end" in w:
                 assert 0.0 <= w["start"] <= w["end"] <= 3.0 + 0.1
+
+
+def test_align_bf16_compute_dtype():
+    """bf16 wav2vec2 compute (TPU default) preserves alignment structure —
+    emissions cast to fp32 before log-softmax (models/wav2vec2.py lm_head)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from whisperx_tpu.models.configs import WAV2VEC2_TEST
+    from whisperx_tpu.models.wav2vec2 import Wav2Vec2ForCTC, init_wav2vec2_params
+
+    fp_model, params = init_wav2vec2_params(WAV2VEC2_TEST, seed=0)
+    bf_model = Wav2Vec2ForCTC(WAV2VEC2_TEST, dtype=jnp.bfloat16)
+    chars = ["[pad]", "|", "'"] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    dictionary = {c: i for i, c in enumerate(chars)}
+    model = AlignModel(bf_model, params, dictionary, "en", blank_id=0)
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(2 * SR) * 0.1).astype(np.float32)
+    transcript = [{"start": 0.1, "end": 1.8, "text": " hello world"}]
+    result = align(transcript, model, _metadata(dictionary), audio)
+    assert len(result["segments"]) == 1
+    # Emissions must be fp32 at the head regardless of compute dtype.
+    emissions = bf_model.apply({"params": params}, jnp.zeros((1, 4000), jnp.float32))
+    assert emissions.dtype == jnp.float32

@@ -275,9 +275,19 @@ def wav2vec2_config_from_hf(cfg: dict) -> Wav2Vec2Config:
     )
 
 
-def load_wav2vec2(name_or_path: str, cache_dir: Optional[str] = None):
-    """Local HF wav2vec2-CTC checkpoint → (module, params, char dictionary)."""
+def load_wav2vec2(name_or_path: str, cache_dir: Optional[str] = None, dtype=None):
+    """Local HF wav2vec2-CTC checkpoint → (module, params, char dictionary).
+
+    ``dtype`` is the compute dtype; default bf16 on TPU (the emission head
+    casts back to fp32 before log-softmax), fp32 elsewhere. Params stay fp32.
+    """
+    import jax
+    import jax.numpy as jnp
+
     from .wav2vec2 import Wav2Vec2ForCTC
+
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     path = resolve_checkpoint_dir(name_or_path, cache_dir)
     with open(os.path.join(path, "config.json")) as f:
@@ -288,7 +298,7 @@ def load_wav2vec2(name_or_path: str, cache_dir: Optional[str] = None):
     vocab_file = os.path.join(path, "vocab.json")
     with open(vocab_file) as f:
         dictionary = json.load(f)
-    return Wav2Vec2ForCTC(config), params, dictionary
+    return Wav2Vec2ForCTC(config, dtype=dtype), params, dictionary
 
 
 # ---------------------------------------------------------------------------
