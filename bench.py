@@ -44,10 +44,12 @@ def main():
 
     cfg = get_whisper_config(model_name)
     model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
-    if os.environ.get("BENCH_QUANT", "") == "int8":
+    quant = os.environ.get("BENCH_QUANT", "")
+    if quant in ("int8", "int8-decoder"):
         from whisperx_tpu.models.whisper import quantize_whisper
 
-        model, params = quantize_whisper(model, params)
+        scope = "decoder" if quant == "int8-decoder" else "all"
+        model, params = quantize_whisper(model, params, scope=scope)
     tokenizer = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
     engine = WhisperEngine(model, tokenizer)
 

@@ -91,15 +91,27 @@ class Dense(nn.Module):
         return y
 
 
-def quantize_params(params, *, embedding_keys: tuple[str, ...] = ("token_embedding",)):
+def quantize_params(
+    params,
+    *,
+    embedding_keys: tuple[str, ...] = ("token_embedding",),
+    scope: str = "all",
+):
     """Host-side tree transform: fp kernels → (int8 kernel, kernel_scale).
 
     Every rank-2 "kernel" leaf (all Dense projections; conv kernels are
     rank-3 and stay fp) becomes symmetric per-output-channel int8. Decoder
     token embeddings become per-row int8 (the logits matmul against the
     embedding table is one of the largest per-step weight reads). Use with a
-    model constructed with ``quantized=True``.
+    model constructed with ``quantized=True``. ``scope``: "all" or a single
+    top-level subtree name ("decoder"/"encoder") to quantize.
     """
+
+    if scope != "all":
+        return {
+            name: (quantize_params(child, embedding_keys=embedding_keys) if name == scope else child)
+            for name, child in params.items()
+        }
 
     def walk(node):
         if not isinstance(node, dict):
@@ -444,11 +456,16 @@ class Whisper(nn.Module):
 
     config: WhisperConfig
     dtype: Any = jnp.float32
-    quantized: bool = False
+    # False | True (both stacks) | "decoder" (decode-path only: the decoder is
+    # weight-HBM-bound per step, while the encoder is MXU compute-bound and
+    # gains little from weight-only int8).
+    quantized: Any = False
 
     def setup(self):
-        self.encoder = AudioEncoder(self.config, dtype=self.dtype, quantized=self.quantized)
-        self.decoder = TextDecoder(self.config, dtype=self.dtype, quantized=self.quantized)
+        q_enc = self.quantized is True or self.quantized == "encoder"
+        q_dec = self.quantized is True or self.quantized == "decoder"
+        self.encoder = AudioEncoder(self.config, dtype=self.dtype, quantized=q_enc)
+        self.decoder = TextDecoder(self.config, dtype=self.dtype, quantized=q_dec)
 
     def __call__(self, mel: Array, tokens: Array):
         """Teacher-forced forward pass (training / graft entry compile check)."""
@@ -532,11 +549,13 @@ def init_whisper_params(config: WhisperConfig, seed: int = 0, dtype=jnp.float32)
     return model, random_params_like(shapes, seed=seed)
 
 
-def quantize_whisper(model: Whisper, params):
+def quantize_whisper(model: Whisper, params, scope: str = "all"):
     """(model, fp params) → (int8 weight-only model, quantized params).
 
     TPU analogue of loading the reference's CT2 model with
-    ``compute_type="int8"`` (whisperx/asr.py:262,288).
+    ``compute_type="int8"`` (whisperx/asr.py:262,288). ``scope="decoder"``
+    quantizes only the decode path (encoder stays bf16 matmuls).
     """
-    qmodel = Whisper(model.config, dtype=model.dtype, quantized=True)
-    return qmodel, quantize_params(params)
+    flag = True if scope == "all" else scope
+    qmodel = Whisper(model.config, dtype=model.dtype, quantized=flag)
+    return qmodel, quantize_params(params, scope=scope)
