@@ -68,3 +68,28 @@ def test_sharded_beam_runs():
     with jax.set_mesh(mesh):
         out = engine.generate(params=sharded_params, mel=shard_batch(mesh, mel), options=opts)
     assert out.tokens.shape == (4, 5)
+
+
+def test_sharded_quantized_decode_matches_single_device():
+    """int8 weight-only + tensor parallel: sharded scales (P('model')) must
+    reproduce the single-device quantized decode exactly."""
+    from whisperx_tpu.models.whisper import quantize_whisper
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    qmodel, qparams = quantize_whisper(model, params)
+    tokenizer = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    engine = WhisperEngine(qmodel, tokenizer)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.5
+    opts = engine.build_options(beam_size=2, max_new_tokens=5)
+
+    base = engine.generate(qparams, mel, options=opts)
+
+    mesh = make_mesh(n_model=2)
+    sharded_params = shard_params(qparams, mesh)
+    sharded_mel = shard_batch(mesh, mel)
+    with jax.set_mesh(mesh):
+        sharded = engine.generate(sharded_params, sharded_mel, options=opts)
+
+    np.testing.assert_array_equal(base.tokens, sharded.tokens)
+    np.testing.assert_allclose(base.sum_logprobs, sharded.sum_logprobs, atol=1e-3)
