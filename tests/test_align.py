@@ -29,8 +29,13 @@ class RiggedW2V:
         frames = (T - 400) // 320 + 1
         out = np.full((B, frames, V), -10.0, np.float32)
         for b in range(B):
-            toks = self.token_plan[b]
+            # Rows beyond the plan are batch padding (fixed-shape batches):
+            # pure blank emissions.
+            toks = self.token_plan[b] if b < len(self.token_plan) else []
             n = len(toks)
+            if n == 0:
+                out[b, :, 0] = -0.01
+                continue
             # token k peaked at frame round((k+0.5)/n * frames), blank elsewhere
             out[b, :, 0] = -0.01
             for k, tok in enumerate(toks):

@@ -130,10 +130,29 @@ def _preprocess_segment(text: str, dictionary: dict, charwise: bool):
     return clean_char, clean_cdx, clean_wdx
 
 
+_EMISSION_FWD_CACHE: dict = {}
+
+
+def _emission_fwd(model):
+    """Per-module jitted emission forward, cached so repeated align() calls
+    (one per file in the CLI loop) reuse compiled programs instead of
+    retracing — compiles cost minutes on a remote TPU relay."""
+    import jax
+
+    fwd = _EMISSION_FWD_CACHE.get(model)
+    if fwd is None:
+        fwd = jax.jit(
+            lambda p, a, sl: jax.nn.log_softmax(
+                model.apply({"params": p}, a, sample_lengths=sl), axis=-1
+            )
+        )
+        _EMISSION_FWD_CACHE[model] = fwd
+    return fwd
+
+
 def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
     """Run wav2vec2 over length-sorted padded batches → per-segment
     (log_probs (T', V), T') on host."""
-    import jax
     import jax.numpy as jnp
 
     model, params = align_model.model, align_model.params
@@ -145,26 +164,26 @@ def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
         # Pad to the next multiple of 1 s (bounds distinct compile shapes).
         return max(16000, -(-n // 16000) * 16000)
 
-    fwd = jax.jit(
-        lambda p, a, sl: jax.nn.log_softmax(
-            model.apply({"params": p}, a, sample_lengths=sl), axis=-1
-        )
-    )
+    fwd = _emission_fwd(model)
 
+    B = align_model.max_batch
     i = 0
     while i < len(order):
-        batch_idx = order[i : i + align_model.max_batch]
+        batch_idx = order[i : i + B]
         max_len = bucket_len(max(len(slices[j]) for j in batch_idx))
-        wavs = np.zeros((len(batch_idx), max_len), np.float32)
-        lens = np.zeros((len(batch_idx),), np.int32)
+        # Fixed batch rows: the last partial batch pads to max_batch so each
+        # length bucket is exactly one compile signature.
+        wavs = np.zeros((B, max_len), np.float32)
+        lens = np.zeros((B,), np.int32)
         for row, j in enumerate(batch_idx):
             wavs[row, : len(slices[j])] = slices[j]
             lens[row] = len(slices[j])
+        lens = np.maximum(lens, 400)  # avoid zero-length conv edge on pad rows
         logp = np.asarray(fwd(params, jnp.asarray(wavs), jnp.asarray(lens)))
         frame_lens = np.asarray(model.feature_lengths(jnp.asarray(lens)))
         for row, j in enumerate(batch_idx):
             results[j] = (logp[row], int(frame_lens[row]))
-        i += align_model.max_batch
+        i += B
     return results
 
 

@@ -83,41 +83,61 @@ class ResNet34Embedding(nn.Module):
         return nn.Dense(self.embed_dim, name="embedding")(stats)
 
 
+def _bucket_rows(n: int, granule: int = 8) -> int:
+    """Round a batch-row count up to bound distinct jit signatures."""
+    return max(granule, -(-n // granule) * granule)
+
+
 class NeuralSpeakerEmbedding:
-    """Batched window → embedding inference wrapper."""
+    """Batched window → embedding inference wrapper.
+
+    The jitted forward is built once (per instance) and window batches are
+    padded to a row granule — otherwise every distinct window count would be
+    a fresh compile signature (minutes each on a remote TPU relay).
+    """
 
     def __init__(self, model: nn.Module, variables, n_mels: int = 80):
         self.model = model
         self.variables = variables  # {"params": ..., "batch_stats": ...}
         self.n_mels = n_mels
 
-    def __call__(self, windows: np.ndarray) -> np.ndarray:  # (B, T) -> (B, D)
-        @jax.jit
         def fwd(variables, wavs):
             feats = _window_logmel(wavs, self.n_mels)
             emb = self.model.apply(variables, feats)
             return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
-        return np.asarray(fwd(self.variables, jnp.asarray(windows)))
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, windows: np.ndarray) -> np.ndarray:  # (B, T) -> (B, D)
+        B = windows.shape[0]
+        padded = np.zeros((_bucket_rows(B), windows.shape[1]), windows.dtype)
+        padded[:B] = windows
+        return np.asarray(self._fwd(self.variables, jnp.asarray(padded)))[:B]
+
+
+def _melstats_fwd(wavs):
+    feats = _window_logmel(wavs)  # (B, T, 80)
+    mean = jnp.mean(feats, axis=1)
+    std = jnp.std(feats, axis=1)
+    delta = feats[:, 1:] - feats[:, :-1]
+    dmean = jnp.mean(jnp.abs(delta), axis=1)
+    # Spectral centroid-ish summary per frame bank.
+    emb = jnp.concatenate([mean, std, dmean], axis=-1)
+    emb = emb - jnp.mean(emb, axis=-1, keepdims=True)
+    return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
+
+
+_melstats_fwd_jit = jax.jit(_melstats_fwd)
 
 
 class MelStatsEmbedding:
     """Weight-free embedding: log-mel moments + deltas, L2-normalized."""
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:
-        @jax.jit
-        def fwd(wavs):
-            feats = _window_logmel(wavs)  # (B, T, 80)
-            mean = jnp.mean(feats, axis=1)
-            std = jnp.std(feats, axis=1)
-            delta = feats[:, 1:] - feats[:, :-1]
-            dmean = jnp.mean(jnp.abs(delta), axis=1)
-            # Spectral centroid-ish summary per frame bank.
-            emb = jnp.concatenate([mean, std, dmean], axis=-1)
-            emb = emb - jnp.mean(emb, axis=-1, keepdims=True)
-            return emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)
-
-        return np.asarray(fwd(jnp.asarray(windows)))
+        B = windows.shape[0]
+        padded = np.zeros((_bucket_rows(B), windows.shape[1]), windows.dtype)
+        padded[:B] = windows
+        return np.asarray(_melstats_fwd_jit(jnp.asarray(padded)))[:B]
 
 
 def init_resnet34_params(seed: int = 0, embed_dim: int = 256):

@@ -40,10 +40,22 @@ class NeuralVAD:
     """Sliding-window segmentation inference, batched on device."""
 
     def __init__(self, model, params, *, window: float = 5.0, step: float = 0.5):
+        import jax
+        import jax.numpy as jnp
+
         self.model = model
         self.params = params
         self.window = window
         self.step = step
+
+        # One jitted forward for the instance's lifetime; window batches are
+        # padded to a row granule so arbitrary audio lengths reuse a handful
+        # of compile signatures instead of one per window count.
+        def forward(params, wavs):
+            out = self.model.apply({"params": params}, wavs)  # (W, T', C)
+            return jnp.max(out, axis=-1)  # class reduction (VAD)
+
+        self._forward = jax.jit(forward)
 
     def __call__(self, audio: np.ndarray) -> VadScores:
         import jax
@@ -62,12 +74,14 @@ class NeuralVAD:
             starts.append(n - win)
         windows = np.stack([audio[s : s + win] for s in starts])  # (W, win)
 
-        @functools.partial(jax.jit, static_argnames=())
-        def forward(params, wavs):
-            out = self.model.apply({"params": params}, wavs)  # (W, T', C)
-            return jnp.max(out, axis=-1)  # class reduction (VAD)
+        W = windows.shape[0]
+        W_pad = max(8, -(-W // 8) * 8)  # bucket the window count
+        if W_pad != W:
+            windows = np.concatenate(
+                [windows, np.zeros((W_pad - W, win), windows.dtype)], axis=0
+            )
 
-        frame_scores = np.asarray(forward(self.params, jnp.asarray(windows)))  # (W, T')
+        frame_scores = np.asarray(self._forward(self.params, jnp.asarray(windows)))[:W]
         t_frames = frame_scores.shape[1]
 
         # Overlap-average onto the global frame grid with Hamming weights.
