@@ -93,3 +93,15 @@ def test_sharded_quantized_decode_matches_single_device():
 
     np.testing.assert_array_equal(base.tokens, sharded.tokens)
     np.testing.assert_allclose(base.sum_logprobs, sharded.sum_logprobs, atol=1e-3)
+
+
+def test_shard_files_round_robin():
+    from whisperx_tpu.parallel.distributed import shard_files
+
+    files = [f"f{i}.wav" for i in range(7)]
+    shards = [shard_files(files, process_index=p, process_count=3) for p in range(3)]
+    assert shards[0] == ["f0.wav", "f3.wav", "f6.wav"]
+    assert shards[1] == ["f1.wav", "f4.wav"]
+    assert sorted(sum(shards, [])) == sorted(files)
+    # Single process owns everything (the default in-process path).
+    assert shard_files(files) == files

@@ -205,8 +205,18 @@ def cli(argv=None):
         vad_checkpoint=vad_checkpoint,
     )
 
+    # Multi-host fleets: each process transcribes its round-robin share of
+    # the file list (data parallelism over files; see parallel/distributed).
+    audio_files = args.pop("audio")
+    import jax
+
+    if jax.process_count() > 1:
+        from .parallel.distributed import shard_files
+
+        audio_files = shard_files(audio_files)
+
     audio_cache = None
-    for audio_path in args.pop("audio"):
+    for audio_path in audio_files:
         audio_cache = load_audio(audio_path)
         print(">>Performing transcription...")
         result = model.transcribe(

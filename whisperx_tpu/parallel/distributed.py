@@ -62,3 +62,17 @@ def process_info() -> dict:
         "local_devices": len(jax.local_devices()),
         "global_devices": len(jax.devices()),
     }
+
+
+def shard_files(files, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """Static round-robin split of a file list across hosts.
+
+    The coarsest (and cheapest) data parallelism for batch transcription
+    jobs: each host owns every process_count-th file, no cross-host
+    coordination needed beyond the initial jax.distributed handshake. Use
+    for CLI fleets; use ``local_batch_slice`` when sharding chunk batches of
+    a single file instead.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [f for i, f in enumerate(files) if i % pc == pi]
