@@ -15,9 +15,12 @@ Each timed fn is its own jit program; first call (compile) excluded.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, iters=3):
