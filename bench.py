@@ -64,9 +64,38 @@ def main():
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal((batch, N_SAMPLES)) * 0.1).astype(np.float32)
 
+    # BENCH_ALIGN=1: include wav2vec2 forced alignment in the measured loop
+    # (BASELINE.json's ≥70x target is "transcription+alignment"). Random
+    # decoder output is not alignable text, so a fixed realistic transcript
+    # (~70 words per 30 s chunk) stands in — emission forward cost dominates
+    # and depends only on audio length.
+    with_align = os.environ.get("BENCH_ALIGN", "") == "1"
+    align_model = None
+    if with_align:
+        from whisperx_tpu.align.alignment import align, test_align_model
+        from whisperx_tpu.models.configs import WAV2VEC2_BASE
+
+        align_model = test_align_model("en", config=WAV2VEC2_BASE, dtype=jnp.bfloat16)
+        words = ("the quick brown fox jumps over the lazy dog and runs far away "
+                 "while seven silent watchers record every single word spoken here ").split()
+        text = " " + " ".join(words * 4)[:400]
+        flat_audio = audio.reshape(-1)
+        align_transcript = [
+            {"start": i * 30.0 + 0.2, "end": (i + 1) * 30.0 - 0.2, "text": text}
+            for i in range(batch)
+        ]
+        align_meta = {"language": "en", "dictionary": align_model.dictionary, "type": "jax"}
+
     def run():
         mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels).astype(jnp.bfloat16)
         out = engine.generate(params, mel, options=opts)
+        if with_align:
+            align(
+                [dict(s) for s in align_transcript],
+                align_model,
+                align_meta,
+                flat_audio,
+            )
         return out
 
     run()  # compile (excluded)
@@ -77,10 +106,11 @@ def main():
 
     audio_seconds = batch * 30.0
     xrt = audio_seconds / dt
+    suffix = "_align" if with_align else ""
     print(
         json.dumps(
             {
-                "metric": f"audio_seconds_per_second_{model_name}_beam{beam}",
+                "metric": f"audio_seconds_per_second_{model_name}_beam{beam}{suffix}",
                 "value": round(xrt, 2),
                 "unit": "x realtime (1 chip)",
                 "vs_baseline": round(xrt / 70.0, 3),

@@ -88,11 +88,20 @@ def load_align_model(
     return align_model, metadata
 
 
-def test_align_model(language: str = "en", seed: int = 0) -> AlignModel:
-    """Random-weight miniature align model with an a-z dictionary (tests)."""
-    from ..models.wav2vec2 import init_wav2vec2_params
+def test_align_model(
+    language: str = "en", seed: int = 0, config=None, dtype=None
+) -> AlignModel:
+    """Random-weight align model with an a-z dictionary (tests/benchmarks).
 
-    model, params = init_wav2vec2_params(WAV2VEC2_TEST, seed=seed)
+    ``config`` defaults to the miniature test architecture; pass
+    WAV2VEC2_BASE for realistic benchmark cost. ``dtype`` sets the compute
+    dtype (e.g. bf16 on TPU)."""
+    from ..models.wav2vec2 import Wav2Vec2ForCTC, init_wav2vec2_params
+
+    cfg = config or WAV2VEC2_TEST
+    model, params = init_wav2vec2_params(cfg, seed=seed)
+    if dtype is not None:
+        model = Wav2Vec2ForCTC(cfg, dtype=dtype)
     chars = ["[pad]", "|", "'"] + [chr(c) for c in range(ord("a"), ord("z") + 1)]
     dictionary = {c: i for i, c in enumerate(chars)}
     return AlignModel(model, params, dictionary, language, blank_id=0)

@@ -522,7 +522,7 @@ def random_params_like(shapes, seed: int = 0, scale: float = 0.02):
     leaves = []
     for kp, sd in flat:
         name = str(kp[-1].key) if hasattr(kp[-1], "key") else str(kp[-1])
-        if name == "scale":
+        if name == "scale" or name.endswith("_scale"):
             arr = np.ones(sd.shape, np.float32)
         elif name == "bias":
             arr = np.zeros(sd.shape, np.float32)
