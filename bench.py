@@ -18,9 +18,12 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def build_bench_engine():
+    """Build the benchmark engine/options from the BENCH_* env knobs.
 
+    Shared by bench.py and benchmarks/decompose.py so both always measure the
+    identical configuration. Returns (engine, params, opts, cfg, knobs).
+    """
     from whisperx_tpu.utils import enable_compile_cache
 
     # Persistent compilation cache: large-v2 compiles take tens of minutes
@@ -30,36 +33,53 @@ def main():
 
     import jax.numpy as jnp
 
-    from whisperx_tpu.audio import N_SAMPLES, log_mel_spectrogram
     from whisperx_tpu.decode.engine import WhisperEngine
     from whisperx_tpu.decode.tokenizer import WhisperTokenizer
     from whisperx_tpu.models.configs import get_whisper_config
     from whisperx_tpu.models.whisper import init_whisper_params
 
-    model_name = os.environ.get("BENCH_MODEL", "large-v2")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    beam = int(os.environ.get("BENCH_BEAM", "5"))
-    max_new = int(os.environ.get("BENCH_MAX_NEW", "112"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    knobs = {
+        "model_name": os.environ.get("BENCH_MODEL", "large-v2"),
+        "batch": int(os.environ.get("BENCH_BATCH", "8")),
+        "beam": int(os.environ.get("BENCH_BEAM", "5")),
+        "max_new": int(os.environ.get("BENCH_MAX_NEW", "112")),
+        "iters": int(os.environ.get("BENCH_ITERS", "3")),
+        "kv": os.environ.get("BENCH_KV", "model"),
+        "quant": os.environ.get("BENCH_QUANT", ""),
+    }
 
-    cfg = get_whisper_config(model_name)
+    cfg = get_whisper_config(knobs["model_name"])
     model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
-    quant = os.environ.get("BENCH_QUANT", "")
-    if quant in ("int8", "int8-decoder"):
+    if knobs["quant"] in ("int8", "int8-decoder"):
         from whisperx_tpu.models.whisper import quantize_whisper
 
-        scope = "decoder" if quant == "int8-decoder" else "all"
+        scope = "decoder" if knobs["quant"] == "int8-decoder" else "all"
         model, params = quantize_whisper(model, params, scope=scope)
     tokenizer = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
     engine = WhisperEngine(model, tokenizer)
 
-    kv = os.environ.get("BENCH_KV", "model")
-    opts = engine.build_options(beam_size=beam, max_new_tokens=max_new, kv_cache_dtype=kv)
+    opts = engine.build_options(
+        beam_size=knobs["beam"], max_new_tokens=knobs["max_new"], kv_cache_dtype=knobs["kv"]
+    )
     # Ban EOT: random weights would otherwise terminate unrealistically early;
     # this forces the full per-segment decode horizon.
     import dataclasses
 
     opts = dataclasses.replace(opts, banned_tokens=opts.banned_tokens + (opts.eot,))
+    return engine, params, opts, cfg, knobs
+
+
+def main():
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    from whisperx_tpu.audio import N_SAMPLES, log_mel_spectrogram
+
+    engine, params, opts, cfg, knobs = build_bench_engine()
+    model_name = knobs["model_name"]
+    batch = knobs["batch"]
+    beam = knobs["beam"]
+    iters = knobs["iters"]
 
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal((batch, N_SAMPLES)) * 0.1).astype(np.float32)

@@ -24,51 +24,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, iters=3):
-    fn(*args)  # compile + warm
+    import jax
+
+    jax.block_until_ready(fn(*args))  # compile + warm, fully drained
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    import jax
-
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters
 
 
 def main():
-    from whisperx_tpu.utils import enable_compile_cache
-
-    enable_compile_cache()
-
     import jax
     import jax.numpy as jnp
 
+    from bench import build_bench_engine
     from whisperx_tpu.audio import N_SAMPLES, log_mel_spectrogram
-    from whisperx_tpu.decode.engine import WhisperEngine
-    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
-    from whisperx_tpu.models.configs import get_whisper_config
-    from whisperx_tpu.models.whisper import Whisper, init_whisper_params
+    from whisperx_tpu.models.whisper import Whisper
 
-    model_name = os.environ.get("BENCH_MODEL", "large-v2")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    beam = int(os.environ.get("BENCH_BEAM", "5"))
-    max_new = int(os.environ.get("BENCH_MAX_NEW", "112"))
-    kv = os.environ.get("BENCH_KV", "model")
-
-    cfg = get_whisper_config(model_name)
-    model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
-    quant = os.environ.get("BENCH_QUANT", "")
-    if quant in ("int8", "int8-decoder"):
-        from whisperx_tpu.models.whisper import quantize_whisper
-
-        model, params = quantize_whisper(
-            model, params, scope="decoder" if quant == "int8-decoder" else "all"
-        )
-    tok = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
-    engine = WhisperEngine(model, tok)
-    opts = engine.build_options(beam_size=beam, max_new_tokens=max_new, kv_cache_dtype=kv)
-    import dataclasses
-
-    opts = dataclasses.replace(opts, banned_tokens=opts.banned_tokens + (opts.eot,))
+    engine, params, opts, cfg, knobs = build_bench_engine()
+    model = engine.model
+    model_name, batch = knobs["model_name"], knobs["batch"]
+    beam, max_new, kv, quant = knobs["beam"], knobs["max_new"], knobs["kv"], knobs["quant"]
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray((rng.standard_normal((batch, N_SAMPLES)) * 0.1), jnp.float32)

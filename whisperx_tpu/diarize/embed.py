@@ -83,9 +83,7 @@ class ResNet34Embedding(nn.Module):
         return nn.Dense(self.embed_dim, name="embedding")(stats)
 
 
-def _bucket_rows(n: int, granule: int = 8) -> int:
-    """Round a batch-row count up to bound distinct jit signatures."""
-    return max(granule, -(-n // granule) * granule)
+from ..utils import bucket_rows as _bucket_rows
 
 
 class NeuralSpeakerEmbedding:

@@ -121,8 +121,8 @@ def quantize_params(
             if isinstance(child, dict):
                 out[name] = walk(child)
                 continue
-            arr = np.asarray(child, np.float32) if hasattr(child, "shape") else child
             if name == "kernel" and getattr(child, "ndim", 0) == 2:
+                arr = np.asarray(child, np.float32)
                 amax = np.max(np.abs(arr), axis=0)
                 scale = np.maximum(amax / 127.0, 1e-12)
                 out[name] = jnp.asarray(
@@ -130,6 +130,7 @@ def quantize_params(
                 )
                 out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
             elif name in embedding_keys and getattr(child, "ndim", 0) == 2:
+                arr = np.asarray(child, np.float32)
                 amax = np.max(np.abs(arr), axis=1, keepdims=True)
                 scale = np.maximum(amax / 127.0, 1e-12)
                 out[name] = jnp.asarray(

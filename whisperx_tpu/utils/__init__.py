@@ -129,3 +129,12 @@ def enable_compile_cache(path: str = None, min_compile_secs: float = 5.0) -> Non
         jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
     except Exception:
         pass
+
+
+def bucket_rows(n: int, granule: int = 8) -> int:
+    """Round a batch-row/window count up to a granule.
+
+    Bounds the number of distinct jit signatures produced by variable-size
+    host batches (every new leading dim is a fresh compile — minutes each on
+    a remote TPU relay)."""
+    return max(granule, -(-n // granule) * granule)

@@ -14,7 +14,6 @@ to exercise the full cut&merge → batched-ASR path and for tests.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -74,8 +73,10 @@ class NeuralVAD:
             starts.append(n - win)
         windows = np.stack([audio[s : s + win] for s in starts])  # (W, win)
 
+        from ..utils import bucket_rows
+
         W = windows.shape[0]
-        W_pad = max(8, -(-W // 8) * 8)  # bucket the window count
+        W_pad = bucket_rows(W)  # bucket the window count
         if W_pad != W:
             windows = np.concatenate(
                 [windows, np.zeros((W_pad - W, win), windows.dtype)], axis=0
