@@ -188,11 +188,18 @@ class MultiHeadAttention(nn.Module):
         scale = head_dim**-0.25
         q = self._split(self.query(x)) * scale
 
+        # K/V arrive either fp (k_scale/v_scale None) or int8 with per-(token,
+        # head) scales. Scales COMMUTE with both attention contractions:
+        #   (q · k_int8[t]) * ks[t]      == q · (k_int8[t]*ks[t])
+        #   sum_t (w[t]*vs[t]) v_int8[t] == sum_t w[t] (v_int8[t]*vs[t])
+        # so they are applied on the *small* side (logits / attention weights,
+        # where XLA fuses them into the matmul epilogue) instead of
+        # dequantizing the full cache — which would materialize a bf16 copy of
+        # the dominant HBM traffic of every decode step.
+        ks = vs = None
         if precomputed_kv is not None:
             if len(precomputed_kv) == 4:  # int8 cross KV: (k, k_scale, v, v_scale)
-                qk, ks, qv, vs = precomputed_kv
-                k = dequantize_kv(qk, ks, self.dtype)
-                v = dequantize_kv(qv, vs, self.dtype)
+                k, ks, v, vs = precomputed_kv
             else:
                 k, v = precomputed_kv
         else:
@@ -202,16 +209,16 @@ class MultiHeadAttention(nn.Module):
         if cache is not None:
             if cache["k"].dtype == jnp.int8:
                 # Quantized cache: store int8 values + per-(token, head) scales.
-                qk, ks = quantize_kv(k)
-                qv, vs = quantize_kv(v)
+                qk, kss = quantize_kv(k)
+                qv, vss = quantize_kv(v)
                 at = (0, cache_index, 0, 0)
                 k_buf = jax.lax.dynamic_update_slice(cache["k"], qk, at)
                 v_buf = jax.lax.dynamic_update_slice(cache["v"], qv, at)
-                ks_buf = jax.lax.dynamic_update_slice(cache["k_scale"], ks, at)
-                vs_buf = jax.lax.dynamic_update_slice(cache["v_scale"], vs, at)
+                ks_buf = jax.lax.dynamic_update_slice(cache["k_scale"], kss, at)
+                vs_buf = jax.lax.dynamic_update_slice(cache["v_scale"], vss, at)
                 new_cache = {"k": k_buf, "v": v_buf, "k_scale": ks_buf, "v_scale": vs_buf}
-                k = dequantize_kv(k_buf, ks_buf, self.dtype)
-                v = dequantize_kv(v_buf, vs_buf, self.dtype)
+                k, ks = k_buf, ks_buf
+                v, vs = v_buf, vs_buf
             else:
                 # Scatter this step's K/V into the static ring buffer.
                 k = jax.lax.dynamic_update_slice(
@@ -232,11 +239,17 @@ class MultiHeadAttention(nn.Module):
             q = q.reshape(k.shape[0], group * Tq, self.n_head, head_dim)
 
         logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k.astype(q.dtype) * scale, preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", q, k.astype(q.dtype), preferred_element_type=jnp.float32
         )
+        logits = logits * scale
+        if ks is not None:
+            # ks: (B, T, H, 1) → (B, H, 1, T) broadcast over queries.
+            logits = logits * ks[..., 0].transpose(0, 2, 1)[:, :, None, :]
         if mask is not None:
             logits = logits + mask
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if vs is not None:
+            weights = weights * vs[..., 0].transpose(0, 2, 1)[:, :, None, :].astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(self.dtype))
         out = out.reshape(x.shape[0], Tq, self.d_model)
         return self.out(out), new_cache
