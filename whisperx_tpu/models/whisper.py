@@ -46,6 +46,8 @@ def quantize_kv(x: Array) -> tuple[Array, Array]:
 
 
 def dequantize_kv(q: Array, scale: Array, dtype) -> Array:
+    """Inverse of quantize_kv (checkpoint tooling; the attention path never
+    materializes this — scales commute into the matmul epilogues instead)."""
     return q.astype(dtype) * scale.astype(dtype)
 
 
