@@ -163,3 +163,39 @@ def test_pallas_trellis_matches_scan(rng):
     finite = np.isfinite(ref)
     np.testing.assert_allclose(got[finite], ref[finite], atol=1e-4)
     np.testing.assert_array_equal(np.isposinf(got), np.isposinf(ref))
+
+
+def test_device_backtrack_matches_host():
+    """Fused device trellis+backtrack == host numpy walk (paths and scores),
+    including the failure (None) contract."""
+    import numpy as np
+
+    from whisperx_tpu.ops.ctc import align_tokens_batch
+
+    rng = np.random.default_rng(5)
+    B, T, V = 4, 60, 12
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    token_lists = [
+        [3, 4, 5],
+        [1, 2, 3, 4, 5, 6, 7, 8],
+        list(rng.integers(1, V, 55)),  # nearly as many tokens as frames
+        [9],
+    ]
+    t_lens = [60, 40, 58, 25]
+
+    host = align_tokens_batch(logp, token_lists, t_lens, blank=0, backtrack_impl="host")
+    dev = align_tokens_batch(logp, token_lists, t_lens, blank=0, backtrack_impl="device")
+
+    assert len(host) == len(dev)
+    for h, d in zip(host, dev):
+        if h is None:
+            assert d is None
+            continue
+        assert d is not None
+        assert [(p.token_index, p.time_index) for p in h] == [
+            (p.token_index, p.time_index) for p in d
+        ]
+        np.testing.assert_allclose(
+            [p.score for p in h], [p.score for p in d], rtol=1e-5, atol=1e-6
+        )

@@ -154,30 +154,137 @@ def merge_words(spans: List[CharSpan], separator: str = "|") -> List[CharSpan]:
     return words
 
 
+def _backtrack_one(trellis, blank_em, tok_em, t_start, n_len):
+    """Device greedy stay/change walk for ONE (padded) segment.
+
+    Scan over t = T..1 with carried token pointer j; identical decision rule
+    to :func:`backtrack`. Returns per-step (token_index, prob, active) in
+    descending-t order plus the final pointer (0 == success).
+    """
+    T = blank_em.shape[0]
+
+    def step(j, xs):
+        row_prev, b, tok_prev, t = xs  # trellis[t-1] (N+1,), scalars/(N,)
+        active = (t <= t_start) & (j > 0)
+        jm1 = jnp.maximum(j - 1, 0)
+        stayed = row_prev[j] + b
+        changed = row_prev[jm1] + tok_prev[jm1]
+        take = changed > stayed
+        prob = jnp.exp(jnp.where(take, tok_prev[jm1], b))
+        new_j = jnp.where(active & take, jm1, j)
+        return new_j, (jm1, prob, active)
+
+    xs = (
+        trellis[T - 1 :: -1],  # rows t-1 for t = T..1
+        blank_em[::-1],
+        tok_em[::-1],
+        jnp.arange(T, 0, -1),
+    )
+    j_final, (tok_idx, probs, active) = jax.lax.scan(step, n_len, xs)
+    return tok_idx, probs, active, j_final
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "backend"))
+def ctc_align_batch_device(
+    log_probs: jax.Array,  # (B, T, V)
+    tokens: jax.Array,  # (B, N)
+    t_len: jax.Array,  # (B,)
+    n_len: jax.Array,  # (B,)
+    blank: int = 0,
+    backend: str = "scan",
+):
+    """Fused trellis + backtrack, entirely on device.
+
+    The host-backtrack variant ships the full (B, T+1, N+1) trellis to the
+    host (tens of MB per batch through a TPU relay) and walks it in Python;
+    here the walk is a vmapped ``lax.scan`` and only (B, T) path arrays come
+    back. Returns (token_idx, probs, active, success, t_start).
+    """
+    if backend == "pallas":
+        from .pallas_ctc import ctc_trellis_pallas
+
+        trellis = ctc_trellis_pallas(
+            log_probs, tokens, t_len, n_len, blank=blank,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        trellis = ctc_trellis_batch(log_probs, tokens, t_len, n_len, blank=blank)
+
+    blank_em = log_probs[:, :, blank]
+    tok_em = jnp.take_along_axis(log_probs, tokens[:, None, :], axis=2)
+
+    B, T1, _ = trellis.shape
+    # Start row: argmax over valid rows (t <= t_len) of the true final column.
+    col = jnp.take_along_axis(trellis, n_len[:, None, None], axis=2)[..., 0]  # (B, T+1)
+    rows = jnp.arange(T1)[None, :]
+    col = jnp.where(rows <= t_len[:, None], col, -INF)
+    t_start = jnp.argmax(col, axis=1).astype(jnp.int32)
+
+    tok_idx, probs, active, j_final = jax.vmap(_backtrack_one)(
+        trellis, blank_em, tok_em, t_start, n_len
+    )
+    success = j_final == 0
+    return tok_idx, probs, active, success, t_start
+
+
 def align_tokens_batch(
     log_probs: np.ndarray,  # (B, T, V) on host
     token_lists: List[List[int]],
     t_lens: List[int],
     blank: int = 0,
     backend: str = None,
+    backtrack_impl: str = None,
 ):
-    """Device trellis + host backtrack for a padded batch of segments.
+    """Batched trellis + backtrack for a padded batch of segments.
 
     ``backend`` selects the trellis implementation: "scan" (lax.scan, any
-    platform) or "pallas" (the VMEM-resident TPU kernel in ops/pallas_ctc).
-    Defaults to $WHISPERX_CTC_BACKEND or "scan".
-    Returns a list (one per segment) of path lists (or None on failure).
+    platform) or "pallas" (the VMEM-resident TPU kernel in ops/pallas_ctc);
+    defaults to $WHISPERX_CTC_BACKEND or "scan". ``backtrack_impl`` is
+    "device" (fused jit walk, default) or "host" (numpy reference walk,
+    $WHISPERX_CTC_BACKTRACK). Returns a list (one per segment) of path lists
+    (or None on failure).
     """
     import os
 
     backend = backend or os.environ.get("WHISPERX_CTC_BACKEND", "scan")
+    backtrack_impl = backtrack_impl or os.environ.get("WHISPERX_CTC_BACKTRACK", "device")
     B, T, V = log_probs.shape
-    N = max((len(t) for t in token_lists), default=1)
+    # Bucket the token-count dim so segment batches reuse compile signatures.
+    N_true = max((len(t) for t in token_lists), default=1)
+    N = max(64, -(-N_true // 64) * 64) if backtrack_impl == "device" else N_true
     tokens = np.zeros((B, N), np.int32)
     n_len = np.zeros((B,), np.int32)
     for i, tl in enumerate(token_lists):
         tokens[i, : len(tl)] = tl
         n_len[i] = len(tl)
+
+    if backtrack_impl == "device":
+        tok_idx, probs, active, success, t_start = ctc_align_batch_device(
+            jnp.asarray(log_probs),
+            jnp.asarray(tokens),
+            jnp.asarray(t_lens, dtype=jnp.int32),
+            jnp.asarray(n_len),
+            blank=blank,
+            backend=backend,
+        )
+        tok_idx = np.asarray(tok_idx)
+        probs = np.asarray(probs)
+        active = np.asarray(active)
+        success = np.asarray(success)
+        times = T - 1 - np.arange(T)  # time_index at each scan position
+        out = []
+        for i in range(len(token_lists)):
+            if not success[i]:
+                out.append(None)
+                continue
+            ks = np.nonzero(active[i])[0]
+            out.append(
+                [
+                    PathPoint(int(tok_idx[i, k]), int(times[k]), float(probs[i, k]))
+                    for k in ks
+                ][::-1]
+            )
+        return out
 
     if backend == "pallas":
         from .pallas_ctc import ctc_trellis_pallas
