@@ -258,21 +258,31 @@ def align(
     frames_by_sdx = {}
     if alignable:
         emissions = _batched_emissions(model, slices)
-        # Trellis in sub-batches of uniform padded shape.
+        # Trellis in sub-batches of uniform padded shape. T pads to the
+        # largest emission *buffer* in the group (already 1 s-bucketed by
+        # _batched_emissions), not the true max frame count — arbitrary true
+        # lengths would mint a fresh compile signature per align() call.
         B = model.max_batch
         for i in range(0, len(alignable), B):
             idx = list(range(i, min(i + B, len(alignable))))
-            T_max = max(emissions[j][1] for j in idx)
+            T_max = max(emissions[j][0].shape[0] for j in idx)
             logp = np.stack(
                 [
-                    np.pad(emissions[j][0][:T_max], ((0, max(0, T_max - emissions[j][0][:T_max].shape[0])), (0, 0)))
+                    np.pad(emissions[j][0], ((0, T_max - emissions[j][0].shape[0]), (0, 0)))
                     for j in idx
                 ]
             )
+            # Fixed batch rows: pad the last partial group to max_batch so it
+            # reuses the full group's compile signature.
+            n_real = len(idx)
+            if n_real < B:
+                logp = np.pad(logp, ((0, B - n_real), (0, 0), (0, 0)))
+            group_tokens = [token_lists[j] for j in idx] + [[model.blank_id or 1]] * (B - n_real)
+            group_tlens = [emissions[j][1] for j in idx] + [1] * (B - n_real)
             paths = align_tokens_batch(
                 logp,
-                [token_lists[j] for j in idx],
-                [emissions[j][1] for j in idx],
+                group_tokens,
+                group_tlens,
                 blank=model.blank_id,
             )
             for row, j in enumerate(idx):
