@@ -107,6 +107,11 @@ def test_align_model(
     return AlignModel(model, params, dictionary, language, blank_id=0)
 
 
+# Not a pytest test — keep pytest from collecting this factory when imported
+# into test modules.
+test_align_model.__test__ = False
+
+
 def _sentence_spans(text: str):
     from nltk.tokenize.punkt import PunktParameters, PunktSentenceTokenizer
 

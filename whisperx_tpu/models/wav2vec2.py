@@ -103,12 +103,12 @@ class W2VAttention(nn.Module):
         q = split(self.q_proj(x)) * scale
         k = split(self.k_proj(x)) * scale
         v = split(self.v_proj(x))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        if pad_mask is not None:  # (B, T) 1=valid
-            logits = logits + jnp.where(pad_mask, 0.0, NEG_MASK)[:, None, None, :]
-        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, D)
-        return self.out_proj(out)
+        # Fused flash kernel on TPU (no (B,H,T,T) logits in HBM); naive XLA
+        # on CPU. pad_mask keys are excluded in both paths identically.
+        from ..ops.attention import fused_self_attention
+
+        out = fused_self_attention(q, k, v, pad_mask, neg_mask=NEG_MASK)
+        return self.out_proj(out.reshape(B, T, D))
 
 
 class W2VFeedForward(nn.Module):

@@ -162,6 +162,10 @@ class MultiHeadAttention(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    # Full self-attention (encoder) impl: "auto" → Pallas flash kernel on
+    # TPU, naive XLA on CPU; force "xla" under tensor-parallel meshes (a bare
+    # pallas_call cannot be auto-partitioned by pjit).
+    attn_impl: str = "auto"
 
     def setup(self):
         q = self.quantized
@@ -206,6 +210,14 @@ class MultiHeadAttention(nn.Module):
                 k, v = precomputed_kv
         else:
             k, v = self.compute_kv(x)
+
+        # Encoder path (full bidirectional self-attention, no cache): one
+        # fused flash kernel instead of materializing (B,H,T,T) logits.
+        if cache is None and precomputed_kv is None and mask is None and x.shape[1] > 1:
+            from ..ops.attention import fused_self_attention
+
+            out = fused_self_attention(q, k * scale, v, impl=self.attn_impl)
+            return self.out(out.reshape(x.shape[0], x.shape[1], self.d_model)), None
 
         new_cache = None
         if cache is not None:
@@ -275,11 +287,13 @@ class EncoderBlock(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    attn_impl: str = "auto"
 
     def setup(self):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(
-            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized
+            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized,
+            attn_impl=self.attn_impl,
         )
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
@@ -294,6 +308,7 @@ class AudioEncoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
     quantized: bool = False
+    attn_impl: str = "auto"
 
     def setup(self):
         cfg = self.config
@@ -307,6 +322,7 @@ class AudioEncoder(nn.Module):
                 cfg.n_audio_head,
                 dtype=self.dtype,
                 quantized=self.quantized,
+                attn_impl=self.attn_impl,
                 name=f"layers_{i}",
             )
             for i in range(cfg.n_audio_layer)
@@ -476,11 +492,16 @@ class Whisper(nn.Module):
     # weight-HBM-bound per step, while the encoder is MXU compute-bound and
     # gains little from weight-only int8).
     quantized: Any = False
+    # Encoder self-attention impl ("auto" | "flash" | "xla"); see
+    # ops/attention.py. Set "xla" when the encoder is tensor-parallel.
+    attn_impl: str = "auto"
 
     def setup(self):
         q_enc = self.quantized is True or self.quantized == "encoder"
         q_dec = self.quantized is True or self.quantized == "decoder"
-        self.encoder = AudioEncoder(self.config, dtype=self.dtype, quantized=q_enc)
+        self.encoder = AudioEncoder(
+            self.config, dtype=self.dtype, quantized=q_enc, attn_impl=self.attn_impl
+        )
         self.decoder = TextDecoder(self.config, dtype=self.dtype, quantized=q_dec)
 
     def __call__(self, mel: Array, tokens: Array):
