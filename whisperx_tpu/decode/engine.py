@@ -82,11 +82,20 @@ class WhisperEngine:
         no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, layout.no_speech]
         return logits[:, -1], cache, no_speech_prob
 
-    def _step_fn(self, params):
-        def step(tokens, cache, pos):
-            return self.model.apply(
-                {"params": params}, tokens, cache, pos, method=Whisper.decode_step
+    def _step_fn(self, params, cross):
+        """Step closure over the loop-invariant cross K/V: the while loop
+        carries only the (mutable) self cache; cross buffers enter the loop
+        as constants so XLA never copies them per step."""
+
+        def step(tokens, self_cache, pos):
+            logits, new_cache = self.model.apply(
+                {"params": params},
+                tokens,
+                {"self": self_cache, "cross": cross},
+                pos,
+                method=Whisper.decode_step,
             )
+            return logits, new_cache["self"]
 
         return step
 
@@ -109,7 +118,12 @@ class WhisperEngine:
             kv_int8=opts.kv_cache_dtype == "int8",
         )
         tokens, sum_lp, lengths = greedy_decode(
-            self._step_fn(params), init_logits, cache, prompt_tokens.shape[1], opts, rng
+            self._step_fn(params, cache["cross"]),
+            init_logits,
+            cache["self"],
+            prompt_tokens.shape[1],
+            opts,
+            rng,
         )
         return tokens, sum_lp, lengths, no_speech
 
@@ -124,13 +138,15 @@ class WhisperEngine:
             kv_int8=opts.kv_cache_dtype == "int8",
         )
         # Replicate only the prompt-filled *self* cache per beam:
-        # (B, ...) -> (B*K, ...). Cross K/V stay per batch element.
-        expanded = {
-            "self": jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache["self"]),
-            "cross": cache["cross"],
-        }
+        # (B, ...) -> (B*K, ...). Cross K/V stay per batch element and are
+        # bound into the step closure (loop constants, not carried state).
+        expanded_self = jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache["self"])
         tokens, sum_lp, lengths = beam_decode(
-            self._step_fn(params), init_logits, expanded, prompt_tokens.shape[1], opts
+            self._step_fn(params, cache["cross"]),
+            init_logits,
+            expanded_self,
+            prompt_tokens.shape[1],
+            opts,
         )
         return tokens, sum_lp, lengths, no_speech
 

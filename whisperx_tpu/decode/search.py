@@ -89,9 +89,13 @@ def greedy_decode(
 ):
     """Batched greedy/sampling decode.
 
-    step_fn(tokens (B,1) int32, cache, pos int32) -> (logits (B,1,V), cache).
-    Returns (tokens (B, max_new_tokens), sum_logprobs (B,), lengths (B,)).
-    Token buffers are padded with EOT after finish.
+    step_fn(tokens (B,1) int32, self_cache, pos int32) ->
+    (logits (B,1,V), self_cache). ``init_cache`` holds only the per-step
+    *mutable* state (the self-attention cache); loop-invariant cross K/V must
+    be closed over by ``step_fn`` so they enter the while loop as constants,
+    never as carried (copy-prone) state. Returns (tokens (B, max_new_tokens),
+    sum_logprobs (B,), lengths (B,)). Token buffers are padded with EOT after
+    finish.
     """
     B, V = init_logits.shape
     max_new = opts.max_new_tokens
@@ -141,28 +145,30 @@ def greedy_decode(
     return tokens, sum_lp, lengths
 
 
-def _gather_cache(cache, flat_idx):
+def _gather_cache(self_cache, flat_idx):
     """Reorder the (B*K, ...) self-attention cache by beam indices.
 
     Cross-attention K/V stay at batch granularity (shared across beams — see
-    MultiHeadAttention's beam grouping) and are never reindexed.
+    MultiHeadAttention's beam grouping), live outside the loop carry as
+    while-loop constants, and are never reindexed.
     """
-    gathered = jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), cache["self"])
-    return {"self": gathered, "cross": cache["cross"]}
+    return jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), self_cache)
 
 
 def beam_decode(
     step_fn: Callable,
     init_logits: jax.Array,  # (B, V) logits after the prompt (pre-expansion)
-    expanded_cache,  # cache with leading dim B*K (prompt replicated per beam)
+    expanded_cache,  # SELF cache with leading dim B*K (prompt replicated per beam)
     prompt_len: int,
     opts: SearchOptions,
 ):
     """Fixed-shape batched beam search.
 
-    Returns (tokens (B, max_new), sum_logprobs (B,), lengths (B,)) for the
-    best hypothesis per batch element (finished preferred, ranked by the GNMT
-    length-penalized cumulative logprob).
+    ``expanded_cache`` is the self-attention cache only; cross K/V are closed
+    over by ``step_fn`` (see greedy_decode). Returns (tokens (B, max_new),
+    sum_logprobs (B,), lengths (B,)) for the best hypothesis per batch
+    element (finished preferred, ranked by the GNMT length-penalized
+    cumulative logprob).
     """
     B, V = init_logits.shape
     K = opts.beam_size
