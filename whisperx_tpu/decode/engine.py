@@ -261,19 +261,27 @@ class WhisperEngine:
         options: Optional[SearchOptions] = None,
         initial_prompt: Optional[str] = None,
         rng=None,
+        sync: bool = True,
     ) -> DecodeResult:
-        """Transcribe a feature batch; dispatches greedy vs beam."""
+        """Transcribe a feature batch; dispatches greedy vs beam.
+
+        ``sync=False`` returns the result holding *device* arrays without
+        blocking: JAX async dispatch lets the caller enqueue the next batch
+        (and its mel front-end) while this one executes; the arrays convert
+        (and synchronize) transparently on first host use.
+        """
         opts = options or self.build_options()
         prompt = self.build_prompt(mel.shape[0], initial_prompt=initial_prompt)
         if opts.beam_size > 1 and opts.temperature == 0.0:
             tokens, sum_lp, lengths, no_speech = self.decode_beam(params, mel, prompt, opts)
         else:
             tokens, sum_lp, lengths, no_speech = self.decode_greedy(params, mel, prompt, opts, rng)
+        conv = (lambda a: np.asarray(a)) if sync else (lambda a: a)
         return DecodeResult(
-            tokens=np.asarray(tokens),
-            sum_logprobs=np.asarray(sum_lp),
-            lengths=np.asarray(lengths),
-            no_speech_probs=np.asarray(no_speech),
+            tokens=conv(tokens),
+            sum_logprobs=conv(sum_lp),
+            lengths=conv(lengths),
+            no_speech_probs=conv(no_speech),
         )
 
     def decode_text(self, result: DecodeResult) -> list[str]:

@@ -189,26 +189,42 @@ class WhisperPipeline:
         avg_lps = np.zeros(total)
         no_speech = np.zeros(total)
         done = 0
-        for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
-            batch_audio_s = sum(
-                vad_segments[done + j]["end"] - vad_segments[done + j]["start"]
-                for j in range(n_valid)
-            )
-            with self.telemetry.stage("asr_decode", audio_seconds=batch_audio_s):
+
+        def consume(result, n_valid, at):
+            # First host read of the device arrays synchronizes here.
+            batch_texts = engine.decode_text(result)[:n_valid]
+            avg = np.asarray(result.avg_logprobs)
+            nsp = result.no_speech_probs
+            for j, text in enumerate(batch_texts):
+                texts[at + j] = text
+                avg_lps[at + j] = avg[j]
+                if nsp is not None:
+                    no_speech[at + j] = float(nsp[j])
+            if print_progress:
+                pct = ((at + n_valid) / total) * 100
+                print(f"Progress: {(pct / 2 if combined_progress else pct):.2f}%...")
+
+        # One batch kept in flight: batch i+1 (mel front-end + decode) is
+        # enqueued before blocking on batch i's tokens, so host-side
+        # detokenization and chunk prep overlap device compute — the TPU
+        # replacement for the reference's DataLoader worker overlap
+        # (whisperx/asr.py:158-171).
+        total_audio_s = sum(s["end"] - s["start"] for s in vad_segments)
+        with self.telemetry.stage("asr_decode", audio_seconds=total_audio_s):
+            in_flight = None
+            for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
                 result = engine.generate(
                     self.params, mel, options=search_opts,
                     initial_prompt=self.options.initial_prompt,
+                    sync=False,
                 )
-                batch_texts = engine.decode_text(result)[:n_valid]
-            for j, text in enumerate(batch_texts):
-                texts[done + j] = text
-                avg_lps[done + j] = result.avg_logprobs[j]
-                if result.no_speech_probs is not None:
-                    no_speech[done + j] = result.no_speech_probs[j]
-            done += n_valid
-            if print_progress:
-                pct = (done / total) * 100
-                print(f"Progress: {(pct / 2 if combined_progress else pct):.2f}%...")
+                if in_flight is not None:
+                    consume(*in_flight)
+                    done += in_flight[1]
+                in_flight = (result, n_valid, done)
+            if in_flight is not None:
+                consume(*in_flight)
+                done += in_flight[1]
 
         if self.options.enable_fallback:
             texts = self._temperature_fallback(
