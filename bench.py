@@ -46,6 +46,7 @@ def build_bench_engine():
         "iters": int(os.environ.get("BENCH_ITERS", "3")),
         "kv": os.environ.get("BENCH_KV", "model"),
         "quant": os.environ.get("BENCH_QUANT", ""),
+        "fused_qkv": os.environ.get("BENCH_FUSED_QKV", "") == "1",
     }
 
     cfg = get_whisper_config(knobs["model_name"])
@@ -55,6 +56,10 @@ def build_bench_engine():
 
         scope = "decoder" if knobs["quant"] == "int8-decoder" else "all"
         model, params = quantize_whisper(model, params, scope=scope)
+    if knobs["fused_qkv"]:
+        from whisperx_tpu.models.whisper import fuse_whisper_qkv
+
+        model, params = fuse_whisper_qkv(model, params)
     tokenizer = WhisperTokenizer.dummy(cfg.n_vocab, language="en")
     engine = WhisperEngine(model, tokenizer)
 

@@ -146,6 +146,47 @@ def quantize_params(
     return walk(params)
 
 
+def fuse_qkv_params(params):
+    """Host-side tree transform: self-attention {query,key,value} → one qkv.
+
+    Concatenates the three projections along the output dim (order q|k|v,
+    matching MultiHeadAttention._project_qkv slicing); the key projection has
+    no bias in Whisper, so its bias slot is zeros. Works on fp and int8
+    (weight-only) trees — per-output-channel kernel_scale concatenates the
+    same way. Cross-attention subtrees ("cross_attn") are left alone. Use
+    with a model constructed with ``fused_qkv=True``.
+    """
+
+    def fuse(attn: dict) -> dict:
+        q, k, v = attn["query"], attn["key"], attn["value"]
+        cat = lambda name: jnp.concatenate(
+            [np.asarray(q[name]), np.asarray(k[name]), np.asarray(v[name])], axis=-1
+        )
+        qkv = {"kernel": cat("kernel")}
+        if "kernel_scale" in q:
+            qkv["kernel_scale"] = cat("kernel_scale")
+        kb = jnp.zeros_like(jnp.asarray(q["bias"]))
+        qkv["bias"] = jnp.concatenate(
+            [jnp.asarray(q["bias"]), kb, jnp.asarray(v["bias"])], axis=-1
+        )
+        out = {name: child for name, child in attn.items() if name not in ("query", "key", "value")}
+        out["qkv"] = qkv
+        return out
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if name == "attn" and isinstance(child, dict) and "query" in child:
+                out[name] = fuse({k: walk(v) for k, v in child.items()})
+            else:
+                out[name] = walk(child)
+        return out
+
+    return walk(params)
+
+
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
     """Sinusoidal position signal for the audio encoder (fixed, not learned)."""
     assert channels % 2 == 0
@@ -166,16 +207,31 @@ class MultiHeadAttention(nn.Module):
     # TPU, naive XLA on CPU; force "xla" under tensor-parallel meshes (a bare
     # pallas_call cannot be auto-partitioned by pjit).
     attn_impl: str = "auto"
+    # One (D, 3D) projection instead of three (D, D): a third of the matmul
+    # dispatches on the per-token decode path. Param trees are rewritten by
+    # fuse_qkv_params; cross-attention modules stay unfused (they project K/V
+    # from the encoder states separately).
+    fused_qkv: bool = False
 
     def setup(self):
         q = self.quantized
-        self.query = Dense(self.d_model, dtype=self.dtype, quantized=q)
-        self.key = Dense(self.d_model, use_bias=False, dtype=self.dtype, quantized=q)
-        self.value = Dense(self.d_model, dtype=self.dtype, quantized=q)
+        if self.fused_qkv:
+            self.qkv = Dense(3 * self.d_model, dtype=self.dtype, quantized=q)
+        else:
+            self.query = Dense(self.d_model, dtype=self.dtype, quantized=q)
+            self.key = Dense(self.d_model, use_bias=False, dtype=self.dtype, quantized=q)
+            self.value = Dense(self.d_model, dtype=self.dtype, quantized=q)
         self.out = Dense(self.d_model, dtype=self.dtype, quantized=q)
 
     def _split(self, h: Array) -> Array:  # (B, T, D) -> (B, T, H, Dh)
         return h.reshape(h.shape[0], h.shape[1], self.n_head, self.d_model // self.n_head)
+
+    def _project_qkv(self, x: Array) -> tuple:
+        if self.fused_qkv:
+            y = self.qkv(x)
+            D = self.d_model
+            return y[..., :D], y[..., D : 2 * D], y[..., 2 * D :]
+        return self.query(x), self.key(x), self.value(x)
 
     def compute_kv(self, src: Array) -> tuple:
         """Project K/V once (cross-attention precompute)."""
@@ -192,7 +248,6 @@ class MultiHeadAttention(nn.Module):
     ):
         head_dim = self.d_model // self.n_head
         scale = head_dim**-0.25
-        q = self._split(self.query(x)) * scale
 
         # K/V arrive either fp (k_scale/v_scale None) or int8 with per-(token,
         # head) scales. Scales COMMUTE with both attention contractions:
@@ -204,12 +259,15 @@ class MultiHeadAttention(nn.Module):
         # the dominant HBM traffic of every decode step.
         ks = vs = None
         if precomputed_kv is not None:
+            q = self._split(self.query(x)) * scale
             if len(precomputed_kv) == 4:  # int8 cross KV: (k, k_scale, v, v_scale)
                 k, ks, v, vs = precomputed_kv
             else:
                 k, v = precomputed_kv
         else:
-            k, v = self.compute_kv(x)
+            qp, kp, vp = self._project_qkv(x)
+            q = self._split(qp) * scale
+            k, v = self._split(kp), self._split(vp)
 
         # Encoder path (full bidirectional self-attention, no cache): one
         # fused flash kernel instead of materializing (B,H,T,T) logits.
@@ -288,12 +346,13 @@ class EncoderBlock(nn.Module):
     dtype: Any = jnp.float32
     quantized: bool = False
     attn_impl: str = "auto"
+    fused_qkv: bool = False
 
     def setup(self):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(
             self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized,
-            attn_impl=self.attn_impl,
+            attn_impl=self.attn_impl, fused_qkv=self.fused_qkv,
         )
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
@@ -309,6 +368,7 @@ class AudioEncoder(nn.Module):
     dtype: Any = jnp.float32
     quantized: bool = False
     attn_impl: str = "auto"
+    fused_qkv: bool = False
 
     def setup(self):
         cfg = self.config
@@ -323,6 +383,7 @@ class AudioEncoder(nn.Module):
                 dtype=self.dtype,
                 quantized=self.quantized,
                 attn_impl=self.attn_impl,
+                fused_qkv=self.fused_qkv,
                 name=f"layers_{i}",
             )
             for i in range(cfg.n_audio_layer)
@@ -353,11 +414,13 @@ class DecoderBlock(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    fused_qkv: bool = False
 
     def setup(self):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(
-            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized
+            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized,
+            fused_qkv=self.fused_qkv,
         )
         self.cross_attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.cross_attn = MultiHeadAttention(
@@ -388,6 +451,7 @@ class TextDecoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
     quantized: bool = False
+    fused_qkv: bool = False
 
     def setup(self):
         cfg = self.config
@@ -424,6 +488,7 @@ class TextDecoder(nn.Module):
                 cfg.n_text_head,
                 dtype=self.dtype,
                 quantized=self.quantized,
+                fused_qkv=self.fused_qkv,
                 name=f"layers_{i}",
             )
             for i in range(cfg.n_text_layer)
@@ -495,14 +560,21 @@ class Whisper(nn.Module):
     # Encoder self-attention impl ("auto" | "flash" | "xla"); see
     # ops/attention.py. Set "xla" when the encoder is tensor-parallel.
     attn_impl: str = "auto"
+    # Fused (D, 3D) QKV projections for all *self*-attention blocks; pair
+    # with fuse_qkv_params. Keep False under tensor parallelism (the fused
+    # output dim would shard across q/k/v regions).
+    fused_qkv: bool = False
 
     def setup(self):
         q_enc = self.quantized is True or self.quantized == "encoder"
         q_dec = self.quantized is True or self.quantized == "decoder"
         self.encoder = AudioEncoder(
-            self.config, dtype=self.dtype, quantized=q_enc, attn_impl=self.attn_impl
+            self.config, dtype=self.dtype, quantized=q_enc, attn_impl=self.attn_impl,
+            fused_qkv=self.fused_qkv,
         )
-        self.decoder = TextDecoder(self.config, dtype=self.dtype, quantized=q_dec)
+        self.decoder = TextDecoder(
+            self.config, dtype=self.dtype, quantized=q_dec, fused_qkv=self.fused_qkv
+        )
 
     def __call__(self, mel: Array, tokens: Array):
         """Teacher-forced forward pass (training / graft entry compile check)."""
@@ -594,5 +666,24 @@ def quantize_whisper(model: Whisper, params, scope: str = "all"):
     quantizes only the decode path (encoder stays bf16 matmuls).
     """
     flag = True if scope == "all" else scope
-    qmodel = Whisper(model.config, dtype=model.dtype, quantized=flag)
+    qmodel = Whisper(
+        model.config,
+        dtype=model.dtype,
+        quantized=flag,
+        attn_impl=model.attn_impl,
+        fused_qkv=model.fused_qkv,
+    )
     return qmodel, quantize_params(params, scope=scope)
+
+
+def fuse_whisper_qkv(model: Whisper, params):
+    """(model, params) → (fused-QKV model, fused params). Compose after
+    quantize_whisper; keep unfused under tensor parallelism."""
+    fmodel = Whisper(
+        model.config,
+        dtype=model.dtype,
+        quantized=model.quantized,
+        attn_impl=model.attn_impl,
+        fused_qkv=True,
+    )
+    return fmodel, fuse_qkv_params(params)
