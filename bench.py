@@ -111,9 +111,9 @@ def main():
         ]
         align_meta = {"language": "en", "dictionary": align_model.dictionary, "type": "jax"}
 
-    def run():
+    def run(sync=True):
         mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels).astype(jnp.bfloat16)
-        out = engine.generate(params, mel, options=opts)
+        out = engine.generate(params, mel, options=opts, sync=sync)
         if with_align:
             align(
                 [dict(s) for s in align_transcript],
@@ -124,9 +124,19 @@ def main():
         return out
 
     run()  # compile (excluded)
+    # Timed loop keeps one batch in flight (engine.generate(sync=False)),
+    # exactly like the production transcribe loop: the chip executes
+    # back-to-back while the host consumes the previous batch. Per-iteration
+    # blocking would instead measure host↔device round-trip latency (large
+    # through the remote TPU relay) alongside compute.
     t0 = time.perf_counter()
+    prev = None
     for _ in range(iters):
-        run()
+        out = run(sync=False)
+        if prev is not None:
+            np.asarray(prev.tokens)  # consume (blocks until that batch is done)
+        prev = out
+    np.asarray(prev.tokens)
     dt = (time.perf_counter() - t0) / iters
 
     audio_seconds = batch * 30.0
