@@ -48,8 +48,42 @@ class WhisperEngine:
     def _encode(self, params, mel):
         return self.model.apply({"params": params}, mel, method=Whisper.encode)
 
+    def _cross_impl(self, opts: Optional[SearchOptions]) -> str:
+        """Resolve the decode cross-attention impl (see SearchOptions)."""
+        import os
+
+        import jax
+
+        env = os.environ.get("WHISPERX_CROSS_ATTN", "")
+        if env in ("pallas", "xla"):
+            return env
+        pref = opts.cross_attn if opts is not None else "auto"
+        if pref != "auto":
+            return pref
+        cfg = self.config
+        if (
+            jax.default_backend() == "cpu"
+            or cfg.n_text_state % 128 != 0
+            or cfg.n_text_state // cfg.n_text_head != 64
+            or cfg.n_text_head % 2 != 0
+        ):
+            return "xla"
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is not None and not mesh.empty and mesh.size > 1:
+                return "xla"
+        except Exception:
+            pass
+        return "pallas"
+
     def _prompt_cache(
-        self, params, audio_states, prompt_tokens, cache_len: int = 0, kv_int8: bool = False
+        self,
+        params,
+        audio_states,
+        prompt_tokens,
+        cache_len: int = 0,
+        kv_int8: bool = False,
+        cross_impl: str = "xla",
     ):
         """Run the prompt through the decoder.
 
@@ -59,7 +93,7 @@ class WhisperEngine:
         """
         import jax.numpy as jnp
 
-        from ..models.whisper import quantize_kv
+        from ..models.whisper import flat_cross_kv, quantize_kv
 
         B = audio_states.shape[0]
         cache_dtype = jnp.int8 if kv_int8 else self.model.dtype
@@ -67,7 +101,9 @@ class WhisperEngine:
         cross = self.model.apply(
             {"params": params}, audio_states, method=Whisper.compute_cross_kv
         )
-        if kv_int8:
+        if cross_impl == "pallas":
+            cross = [flat_cross_kv(k, v, kv_int8) for (k, v) in cross]
+        elif kv_int8:
             cross = [
                 (lambda qk, ks, qv, vs: (qk, ks, qv, vs))(*quantize_kv(k), *quantize_kv(v))
                 for (k, v) in cross
@@ -116,6 +152,7 @@ class WhisperEngine:
             params, audio_states, prompt_tokens,
             self._cache_len(prompt_tokens.shape[1], opts),
             kv_int8=opts.kv_cache_dtype == "int8",
+            cross_impl=self._cross_impl(opts),
         )
         tokens, sum_lp, lengths = greedy_decode(
             self._step_fn(params, cache["cross"]),
@@ -136,6 +173,7 @@ class WhisperEngine:
             params, audio_states, prompt_tokens,
             self._cache_len(prompt_tokens.shape[1], opts),
             kv_int8=opts.kv_cache_dtype == "int8",
+            cross_impl=self._cross_impl(opts),
         )
         # Replicate only the prompt-filled *self* cache per beam:
         # (B, ...) -> (B*K, ...). Cross K/V stay per batch element and are

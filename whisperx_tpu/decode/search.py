@@ -52,6 +52,10 @@ class SearchOptions:
     # cache and cross K/V per (token, head) — halves the dominant HBM traffic
     # of beam decode at negligible accuracy cost.
     kv_cache_dtype: str = "model"
+    # Cross-attention impl for decode: "auto" → fused Pallas kernel on TPU
+    # (single-device, head_dim 64), XLA einsum otherwise. Env override:
+    # WHISPERX_CROSS_ATTN=pallas|xla.
+    cross_attn: str = "auto"
 
 
 def _static_suppress_mask(n_vocab: int, opts: SearchOptions) -> np.ndarray:

@@ -19,7 +19,7 @@ an XLA-native model. TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import flax.linen as nn
 import jax
@@ -49,6 +49,37 @@ def dequantize_kv(q: Array, scale: Array, dtype) -> Array:
     """Inverse of quantize_kv (checkpoint tooling; the attention path never
     materializes this — scales commute into the matmul epilogues instead)."""
     return q.astype(dtype) * scale.astype(dtype)
+
+
+class FlatCrossKV(NamedTuple):
+    """Cross-attention K/V in the fused-kernel layout.
+
+    Values are stored flat (B, S, D) — lane-aligned on TPU, avoiding the
+    tile padding of trailing (H, 64) dims — with per-(token, head) scales
+    transposed to (B, H, S). Built by the engine when the Pallas decode
+    cross-attention kernel is active (ops/pallas_cross_attn.py); plain
+    tuples keep the XLA einsum path.
+    """
+
+    k: Array
+    v: Array
+    k_scale: Array
+    v_scale: Array
+
+
+def flat_cross_kv(k: Array, v: Array, kv_int8: bool) -> FlatCrossKV:
+    """(B, S, H, Dh) K/V → FlatCrossKV (optionally int8-quantized)."""
+    B, S, H, Dh = k.shape
+    if kv_int8:
+        qk, ks = quantize_kv(k)
+        qv, vs = quantize_kv(v)
+    else:
+        qk, qv = k, v
+        ks = vs = jnp.ones((B, S, H, 1), jnp.float32)
+    t = lambda s: s[..., 0].transpose(0, 2, 1)  # (B,S,H,1) → (B,H,S)
+    return FlatCrossKV(
+        qk.reshape(B, S, H * Dh), qv.reshape(B, S, H * Dh), t(ks), t(vs)
+    )
 
 
 class Dense(nn.Module):
@@ -248,6 +279,24 @@ class MultiHeadAttention(nn.Module):
     ):
         head_dim = self.d_model // self.n_head
         scale = head_dim**-0.25
+
+        # Fused-kernel cross attention: one Pallas program per layer per
+        # step reads the flat (B, S, D) K/V once from HBM (see
+        # ops/pallas_cross_attn.py). Beam queries fold into the G axis just
+        # like the einsum path's beam grouping below.
+        if isinstance(precomputed_kv, FlatCrossKV):
+            from ..ops.pallas_cross_attn import cross_attention_decode
+
+            fkv = precomputed_kv
+            Bkv = fkv.k.shape[0]
+            Tq = x.shape[1]
+            group = x.shape[0] // Bkv
+            # Full 1/sqrt(Dh) on q (exact in bf16: a power of two).
+            q = self.query(x) * (head_dim**-0.5)
+            q = q.reshape(Bkv, group * Tq, self.d_model).astype(jnp.bfloat16)
+            out = cross_attention_decode(q, fkv.k, fkv.v, fkv.k_scale, fkv.v_scale)
+            out = out.astype(self.dtype).reshape(x.shape[0], Tq, self.d_model)
+            return self.out(out), None
 
         # K/V arrive either fp (k_scale/v_scale None) or int8 with per-(token,
         # head) scales. Scales COMMUTE with both attention contractions:
