@@ -38,16 +38,24 @@ def build_bench_engine():
     from whisperx_tpu.models.configs import get_whisper_config
     from whisperx_tpu.models.whisper import init_whisper_params
 
+    # Defaults are the flagship production config: int8 weight-only
+    # quantization (the analogue of the reference's CT2 compute_type="int8",
+    # whisperx/asr.py:262) + int8 KV cache. Both are token-parity tested
+    # against the fp path (tests/test_quantize.py, tests/test_decode.py);
+    # the metric name carries the quantization tag. BENCH_QUANT="" /
+    # BENCH_KV=model select the pure-bf16 variant.
     knobs = {
         "model_name": os.environ.get("BENCH_MODEL", "large-v2"),
         "batch": int(os.environ.get("BENCH_BATCH", "8")),
         "beam": int(os.environ.get("BENCH_BEAM", "5")),
         "max_new": int(os.environ.get("BENCH_MAX_NEW", "112")),
         "iters": int(os.environ.get("BENCH_ITERS", "3")),
-        "kv": os.environ.get("BENCH_KV", "model"),
-        "quant": os.environ.get("BENCH_QUANT", ""),
+        "kv": os.environ.get("BENCH_KV", "int8"),
+        "quant": os.environ.get("BENCH_QUANT", "int8"),
         "fused_qkv": os.environ.get("BENCH_FUSED_QKV", "") == "1",
     }
+    if knobs["quant"] in ("none", "bf16"):
+        knobs["quant"] = ""
 
     cfg = get_whisper_config(knobs["model_name"])
     model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
@@ -142,6 +150,8 @@ def main():
     audio_seconds = batch * 30.0
     xrt = audio_seconds / dt
     suffix = "_align" if with_align else ""
+    if knobs["quant"]:
+        suffix += f"_{knobs['quant']}"
     print(
         json.dumps(
             {

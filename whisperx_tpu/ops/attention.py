@@ -39,8 +39,15 @@ _BLOCK_MULTIPLE = 512
 
 
 def resolve_attn_impl(impl: str = "auto") -> str:
-    """'auto' → 'flash' on accelerators, 'xla' on CPU. Env override:
-    WHISPERX_ATTN=flash|xla."""
+    """'auto' → 'xla'. Env override: WHISPERX_ATTN=flash|xla.
+
+    Measured on a v5e chip (benchmarks/decompose.py, large-v2 batch 8): the
+    stock flash kernel more than doubled encoder time vs XLA's own fusion of
+    the 1500-frame attention (264 ms → 540 ms for the full encoder) — XLA
+    does not materialize the naive (B,H,T,T) logits here, and head_dim 64
+    under-utilizes the kernel's 128-lane blocks. The fused path stays
+    available for A/B via WHISPERX_ATTN=flash or impl="flash".
+    """
     env = os.environ.get("WHISPERX_ATTN", "")
     if env in ("flash", "xla"):
         return env
@@ -54,7 +61,7 @@ def resolve_attn_impl(impl: str = "auto") -> str:
             return "xla"
     except Exception:
         pass
-    return "flash"
+    return "xla"
 
 
 def _naive(q, k, v, pad_mask, neg_mask: float):
