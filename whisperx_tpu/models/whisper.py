@@ -82,6 +82,21 @@ def flat_cross_kv(k: Array, v: Array, kv_int8: bool) -> FlatCrossKV:
     )
 
 
+def _use_pallas_int8(x: Array, features: int) -> bool:
+    """Route small-row int8 projections through the Pallas dequant-matmul
+    kernel when WHISPERX_INT8_MM=pallas (A/B knob; see ops/pallas_int8_mm)."""
+    import os
+
+    if os.environ.get("WHISPERX_INT8_MM", "") != "pallas":
+        return False
+    from ..ops.pallas_int8_mm import MAX_ROWS
+
+    rows = 1
+    for s in x.shape[:-1]:
+        rows *= s
+    return rows <= MAX_ROWS and features % 128 == 0 and x.shape[-1] % 128 == 0
+
+
 class Dense(nn.Module):
     """nn.Dense-compatible projection with an optional int8 weight-only mode.
 
@@ -111,6 +126,18 @@ class Dense(nn.Module):
             scale = self.param(
                 "kernel_scale", lambda key, s: jnp.ones(s, jnp.float32), (self.features,)
             )
+            if _use_pallas_int8(x, self.features):
+                from ..ops.pallas_int8_mm import int8_matmul
+
+                lead = x.shape[:-1]
+                rows = int(np.prod(lead)) if lead else 1
+                bias = None
+                if self.use_bias:
+                    bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+                y = int8_matmul(
+                    x.reshape(rows, in_features), kernel, scale, bias, out_dtype=self.dtype
+                )
+                return y.reshape(*lead, self.features)
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
             y = y * scale.astype(self.dtype)
         else:
