@@ -100,6 +100,22 @@ def test_beam_decode_runs_and_dominates_greedy(engine_and_params):
     assert (beam.sum_logprobs >= greedy.sum_logprobs - 1e-3).all()
 
 
+def test_beam_topk_approx_matches_exact(engine_and_params):
+    # approx_max_k at recall_target=1.0 is exact — the beam must pick the
+    # identical candidates (tokens AND scores) as lax.top_k.
+    import dataclasses
+
+    engine, params = engine_and_params
+    mel = _mel(2)
+    opts = engine.build_options(beam_size=3, max_new_tokens=8)
+    exact = engine.generate(params, mel, options=dataclasses.replace(opts, topk="exact"))
+    approx = engine.generate(params, mel, options=dataclasses.replace(opts, topk="approx"))
+    assert (np.asarray(exact.tokens) == np.asarray(approx.tokens)).all()
+    np.testing.assert_allclose(
+        np.asarray(exact.sum_logprobs), np.asarray(approx.sum_logprobs), rtol=1e-6
+    )
+
+
 def test_eot_padding_after_finish(engine_and_params):
     engine, params = engine_and_params
     opts = engine.build_options(beam_size=1, max_new_tokens=8)

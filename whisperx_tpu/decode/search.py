@@ -56,6 +56,13 @@ class SearchOptions:
     # (single-device, head_dim 64), XLA einsum otherwise. Env override:
     # WHISPERX_CROSS_ATTN=pallas|xla.
     cross_attn: str = "auto"
+    # Candidate-selection impl for the per-step (B, K*V) top-2K: "exact" →
+    # lax.top_k (full sort-based reduction); "approx" → lax.approx_max_k with
+    # recall_target=1.0 — still exact results (verified: tests/test_decode.py)
+    # but lowered to the TPU-optimized PartialReduce op, which is
+    # substantially cheaper than top_k at V≈52k. "auto" currently resolves
+    # to exact pending an on-chip A/B. Env override: WHISPERX_TOPK.
+    topk: str = "auto"
 
 
 def _static_suppress_mask(n_vocab: int, opts: SearchOptions) -> np.ndarray:
@@ -81,6 +88,20 @@ def _first_step_mask(n_vocab: int, opts: SearchOptions) -> np.ndarray:
 def length_penalized(score, length, alpha: float):
     """GNMT length normalization: score / ((5+L)/6)^alpha (CT2 convention)."""
     return score / (((5.0 + length) / 6.0) ** alpha)
+
+
+def _resolve_topk(opts: SearchOptions) -> Callable:
+    """top-k implementation for the hot (B, K*V) candidate selection."""
+    import os
+
+    impl = os.environ.get("WHISPERX_TOPK", "") or opts.topk
+    if impl == "auto":
+        impl = "exact"
+    if impl == "approx":
+        return functools.partial(
+            jax.lax.approx_max_k, recall_target=1.0, aggregate_to_topk=True
+        )
+    return jax.lax.top_k
 
 
 def greedy_decode(
@@ -180,6 +201,7 @@ def beam_decode(
     target_finished = max(K, int(round(K * opts.patience)))
     suppress = jnp.asarray(_static_suppress_mask(V, opts))
     first_mask = jnp.asarray(_first_step_mask(V, opts))
+    topk = _resolve_topk(opts)
 
     # Alive state: (B, K). Beam 0 starts live, others at -inf so the first
     # expansion draws K distinct tokens from the single prompt distribution.
@@ -203,7 +225,7 @@ def beam_decode(
         # logprobs: (B, K, V) log-softmaxed + suppressed next-token dists.
         cand = alive_scores[:, :, None] + logprobs  # (B, K, V)
         flat = cand.reshape(B, K * V)
-        top_scores, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+        top_scores, top_idx = topk(flat, 2 * K)  # (B, 2K)
         beam_idx = top_idx // V
         tok_idx = top_idx % V
 
