@@ -97,12 +97,14 @@ def main():
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal((batch, N_SAMPLES)) * 0.1).astype(np.float32)
 
-    # BENCH_ALIGN=1: include wav2vec2 forced alignment in the measured loop
-    # (BASELINE.json's ≥70x target is "transcription+alignment"). Random
-    # decoder output is not alignable text, so a fixed realistic transcript
-    # (~70 words per 30 s chunk) stands in — emission forward cost dominates
-    # and depends only on audio length.
-    with_align = os.environ.get("BENCH_ALIGN", "") == "1"
+    # BENCH_ALIGN (default ON): include wav2vec2 forced alignment in the
+    # measured loop — BASELINE.md's ≥70x target is "transcription+alignment",
+    # so the recorded metric must pay for both stages. Random decoder output
+    # is not alignable text, so a fixed realistic transcript (~70 words per
+    # 30 s chunk) stands in — emission forward cost dominates and depends
+    # only on audio length. BENCH_ALIGN=0 gives the decode-only secondary
+    # metric.
+    with_align = os.environ.get("BENCH_ALIGN", "1") == "1"
     align_model = None
     if with_align:
         from whisperx_tpu.align.alignment import align, test_align_model

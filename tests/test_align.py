@@ -167,3 +167,87 @@ def test_align_bf16_compute_dtype():
     # Emissions must be fp32 at the head regardless of compute dtype.
     emissions = bf_model.apply({"params": params}, jnp.zeros((1, 4000), jnp.float32))
     assert emissions.dtype == jnp.float32
+
+
+def test_sentence_spans_match_punkt_oracle():
+    """Host splitter (align/sentences.py) vs nltk punkt — oracle only.
+
+    nltk is a test dependency here, never a runtime one: the library path
+    uses the pure-re splitter.
+    """
+    pytest.importorskip("nltk")
+    from nltk.tokenize.punkt import PunktParameters, PunktSentenceTokenizer
+
+    from whisperx_tpu.align.sentences import PUNKT_ABBREVIATIONS, sentence_spans
+
+    params = PunktParameters()
+    params.abbrev_types = set(PUNKT_ABBREVIATIONS)
+    oracle = PunktSentenceTokenizer(params)
+
+    cases = [
+        "Hello world. How are you?",
+        " Mr. Smith went to Washington. He was late.",
+        "Dr. Jones said hi! Really? Yes.",
+        "Wait... what happened next",
+        "The value is 4.5 and rising. Done.",
+        'He said "Stop." Then he left.',
+        "J. Smith arrived. Prof. X too.",
+        "no punctuation at all",
+        "One sentence.",
+        "Multiple!!! Exclamations?! Here.",
+        "Ends mid ",
+        "",
+        "  leading spaces. And more.  ",
+        "A vs. B was close. Final score 3.",
+        "(Parens here.) [Also these.] Done!",
+        "self-driving cars vs. humans. round two.",
+        "lowercase after period. next one",
+        "Number 5. follows.",
+        "Number 5. Follows.",
+        "U.S. troops moved. Then stopped.",
+        "Done. ",
+        "Done.  Next one here.",
+        "It cost 3.50. Then more.",
+        "He arrived at 5. Then left.",
+        "Chapter 7. the end",
+        "Mr. and Mrs. Smith. Done.",
+        "stop.) Next.",
+        "Hmm.. okay then.",
+        "What?! Seriously?? yes.",
+        "etc. and so on. Fine.",
+        "price was 1,000. Cheap.",
+        "room 101. next door",
+        "the dog. 'quoted start' here.",
+        "he said 'done.' then left.",
+    ]
+    for text in cases:
+        assert sentence_spans(text) == list(oracle.span_tokenize(text)), text
+
+
+def test_align_char_alignments_and_sentence_merge():
+    """return_char_alignments emits per-char dicts; NaN-keyed sentences heal."""
+    text = " hello world. more text."
+    clean = "hello|world.|more|text."
+    # '.' is not in DICT so it is skipped during cleaning.
+    tokens = [DICT[c] for c in clean if c in DICT]
+    model = AlignModel(RiggedW2V([tokens]), {}, DICT, "en", blank_id=0)
+    out = align(
+        [{"start": 0.0, "end": 2.0, "text": text}],
+        model,
+        _metadata(),
+        np.zeros(2 * SR, np.float32),
+        return_char_alignments=True,
+    )
+    assert out["segments"], "expected aligned output"
+    for seg in out["segments"]:
+        assert "chars" in seg
+        for ch in seg["chars"]:
+            assert "char" in ch
+            for key in ("start", "end", "score"):
+                if key in ch:
+                    assert not np.isnan(ch[key])
+        assert seg["start"] <= seg["end"]
+    words = out["word_segments"]
+    assert [w["word"] for w in words] == ["hello", "world.", "more", "text."]
+    starts = [w["start"] for w in words if "start" in w]
+    assert starts == sorted(starts)

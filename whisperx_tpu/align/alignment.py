@@ -32,7 +32,7 @@ from .registry import (
     default_align_model,
 )
 
-PUNKT_ABBREVIATIONS = ["dr", "vs", "mr", "mrs", "prof"]
+from .sentences import PUNKT_ABBREVIATIONS, sentence_spans
 
 
 @dataclass
@@ -113,12 +113,9 @@ test_align_model.__test__ = False
 
 
 def _sentence_spans(text: str):
-    from nltk.tokenize.punkt import PunktParameters, PunktSentenceTokenizer
-
-    punkt_param = PunktParameters()
-    punkt_param.abbrev_types = set(PUNKT_ABBREVIATIONS)
-    splitter = PunktSentenceTokenizer(punkt_param)
-    return list(splitter.span_tokenize(text))
+    # Host splitter replacing nltk punkt (align/sentences.py; parity-tested
+    # against PunktSentenceTokenizer in tests/test_align.py).
+    return sentence_spans(text, PUNKT_ABBREVIATIONS)
 
 
 def _preprocess_segment(text: str, dictionary: dict, charwise: bool):
@@ -213,8 +210,6 @@ def align(
     combined_progress: bool = False,
 ) -> AlignedTranscriptionResult:
     """Align transcription segments to the audio (reference align() API)."""
-    import pandas as pd
-
     from ..audio.io import load_audio
 
     if isinstance(audio, str):
@@ -328,49 +323,53 @@ def align(
         duration = t2 - t1
         ratio = duration / frames_by_sdx[sdx]
 
-        # per-char rows over the ORIGINAL text, with word indices
-        rows = []
+        # Per-char timestamp arrays over the ORIGINAL text (NaN = unaligned),
+        # plus the word index of every character. Plain numpy — this replaces
+        # the reference's pandas DataFrame aggregation
+        # (whisperx/alignment.py:284-347) with the same semantics.
+        n_chars = len(text)
+        starts = np.full(n_chars, np.nan)
+        ends = np.full(n_chars, np.nan)
+        scores = np.full(n_chars, np.nan)
+        word_of_char = np.zeros(n_chars, np.int64)
         word_idx = 0
-        clean_pos = {cdx: k for k, cdx in enumerate(segment["clean_cdx"])}
         for cdx, char in enumerate(text):
-            start = end = score = None
-            if cdx in clean_pos:
-                span = char_spans[clean_pos[cdx]]
-                start = round(span.start * ratio + t1, 3)
-                end = round(span.end * ratio + t1, 3)
-                score = round(span.score, 3)
-            rows.append(
-                {"char": char, "start": start, "end": end, "score": score, "word-idx": word_idx}
-            )
+            word_of_char[cdx] = word_idx
             if charwise:
                 word_idx += 1
-            elif cdx == len(text) - 1 or text[cdx + 1] == " ":
+            elif cdx == n_chars - 1 or text[cdx + 1] == " ":
                 word_idx += 1
+        for k, cdx in enumerate(segment["clean_cdx"]):
+            span = char_spans[k]
+            starts[cdx] = round(span.start * ratio + t1, 3)
+            ends[cdx] = round(span.end * ratio + t1, 3)
+            scores[cdx] = round(span.score, 3)
 
-        char_df = pd.DataFrame(rows)
-        for col in ("start", "end", "score"):
-            char_df[col] = pd.to_numeric(char_df[col], errors="coerce")
-        char_df["sentence-idx"] = None
+        def _nanreduce(fn, a):
+            a = a[~np.isnan(a)]
+            return fn(a) if a.size else np.nan
 
         subsegments = []
-        for s_idx, (sstart, send) in enumerate(segment["sentence_spans"]):
-            sel = (char_df.index >= sstart) & (char_df.index <= send)
-            char_df.loc[sel, "sentence-idx"] = s_idx
-            curr = char_df.loc[sel]
-            sentence_text = text[sstart:send]
-            sentence_start = curr["start"].min()
-            sentence_end = curr.loc[curr["char"] != " ", "end"].max()
+        for sstart, send in segment["sentence_spans"]:
+            # Reference quirk: the sentence selection is index <= send —
+            # inclusive of the char AT the span end (usually the following
+            # space) — so keep it.
+            sel = slice(sstart, min(send, n_chars - 1) + 1)
+            sel_chars = text[sel]
+            non_space = np.array([c != " " for c in sel_chars], bool)
+            sentence_start = _nanreduce(np.min, starts[sel])
+            sentence_end = _nanreduce(np.max, ends[sel][non_space])
 
             sentence_words = []
-            for w_idx in curr["word-idx"].unique():
-                word_chars = curr.loc[curr["word-idx"] == w_idx]
-                word_text = "".join(word_chars["char"].tolist()).strip()
-                if len(word_text) == 0:
+            for w_idx in np.unique(word_of_char[sel]):  # ascending == appearance order
+                in_word = word_of_char[sel] == w_idx
+                word_text = "".join(c for c, m in zip(sel_chars, in_word) if m).strip()
+                if not word_text:
                     continue
-                word_chars = word_chars[word_chars["char"] != " "]
-                word_start = word_chars["start"].min()
-                word_end = word_chars["end"].max()
-                word_score = round(word_chars["score"].mean(), 3)
+                keep = in_word & non_space
+                word_start = _nanreduce(np.min, starts[sel][keep])
+                word_end = _nanreduce(np.max, ends[sel][keep])
+                word_score = round(_nanreduce(np.mean, scores[sel][keep]), 3)
 
                 word_seg = {"word": word_text}
                 if not np.isnan(word_start):
@@ -382,28 +381,54 @@ def align(
                 sentence_words.append(word_seg)
 
             sub = {
-                "text": sentence_text,
+                "text": text[sstart:send],
                 "start": sentence_start,
                 "end": sentence_end,
                 "words": sentence_words,
             }
             if return_char_alignments:
-                curr_out = curr[["char", "start", "end", "score"]].fillna(-1).to_dict("records")
                 sub["chars"] = [
-                    {k: v for k, v in c.items() if v != -1} for c in curr_out
+                    {
+                        k: v
+                        for k, v in (
+                            ("char", c),
+                            ("start", starts[cdx]),
+                            ("end", ends[cdx]),
+                            ("score", scores[cdx]),
+                        )
+                        if not (isinstance(v, float) and np.isnan(v))
+                    }
+                    for cdx, c in zip(range(sstart, min(send, n_chars - 1) + 1), sel_chars)
                 ]
             subsegments.append(sub)
 
-        sub_df = pd.DataFrame(subsegments)
-        sub_df["start"] = interpolate_nans(sub_df["start"], method=interpolate_method)
-        sub_df["end"] = interpolate_nans(sub_df["end"], method=interpolate_method)
-        agg = {"text": " ".join, "words": "sum"}
-        if charwise:
-            agg["text"] = "".join
-        if return_char_alignments:
-            agg["chars"] = "sum"
-        sub_df = sub_df.groupby(["start", "end"], as_index=False).agg(agg)
-        aligned_segments += sub_df.to_dict("records")
+        # Heal missing sentence times, then merge sentences that landed on
+        # identical (start, end) — value-grouped and key-sorted, and NaN-keyed
+        # rows dropped, exactly like the reference's pandas groupby
+        # (whisperx/alignment.py:336-347).
+        sub_starts = interpolate_nans([s["start"] for s in subsegments], method=interpolate_method)
+        sub_ends = interpolate_nans([s["end"] for s in subsegments], method=interpolate_method)
+        joiner = "" if charwise else " "
+        groups: dict = {}
+        for sub, g_start, g_end in zip(subsegments, sub_starts, sub_ends):
+            if np.isnan(g_start) or np.isnan(g_end):
+                continue
+            key = (float(g_start), float(g_end))
+            grp = groups.get(key)
+            if grp is None:
+                grp = groups[key] = {
+                    "start": key[0], "end": key[1], "text": [], "words": [],
+                }
+                if return_char_alignments:
+                    grp["chars"] = []
+            grp["text"].append(sub["text"])
+            grp["words"].extend(sub["words"])
+            if return_char_alignments:
+                grp["chars"].extend(sub["chars"])
+        for key in sorted(groups):
+            grp = groups[key]
+            grp["text"] = joiner.join(grp["text"])
+            aligned_segments.append(grp)
 
     word_segments = []
     for segment in aligned_segments:

@@ -1,11 +1,12 @@
-"""Command-line entry point: transcribe → align → diarize → write.
+"""Command-line entry point.
 
-Flag surface and three-phase orchestration mirror the reference CLI
-(whisperx/transcribe.py:17-230): identical flag names/defaults, the same
-sequential phases, per-language align-model hot-swap, and the same writer
-options. Device-memory juggling (`del model; gc.collect()`) is unnecessary —
-JAX frees device buffers when the params pytree is dropped — but params are
-still released between phases to keep peak HBM low on small chips.
+The argparse flag table is a compatibility contract with the reference CLI
+(whisperx/transcribe.py:19-79): same flag names, defaults and help text, so
+``--help`` and existing invocations behave identically. The orchestration
+below it is this framework's own: flags resolve into one typed ``CliConfig``,
+and four small stage functions (transcribe / align / diarize / write) fold
+over a list of ``FileJob`` records. Behavioral quirks of the reference that
+downstream output depends on are kept and marked inline.
 """
 
 from __future__ import annotations
@@ -14,6 +15,8 @@ import argparse
 import gc
 import os
 import warnings
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
 
 import numpy as np
 
@@ -62,6 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--diarize", action="store_true", help="Apply diarization to assign speaker labels to each segment/word")
     parser.add_argument("--min_speakers", default=None, type=int, help="Minimum number of speakers to in audio file")
     parser.add_argument("--max_speakers", default=None, type=int, help="Maximum number of speakers to in audio file")
+    parser.add_argument("--diarize_checkpoint", type=str, default=None, help="path to a local WeSpeaker ResNet34 speaker-embedding checkpoint for neural diarization")
 
     parser.add_argument("--temperature", type=float, default=0, help="temperature to use for sampling")
     parser.add_argument("--best_of", type=optional_int, default=5, help="number of candidates when sampling with non-zero temperature")
@@ -95,194 +99,289 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+# ---------------------------------------------------------------------------
+# config resolution
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CliConfig:
+    """Everything the stage functions need, resolved and typed once."""
+
+    files: List[str]
+    model_name: str
+    checkpoint: Optional[str]
+    model_dir: Optional[str]
+    device: str
+    device_index: int
+    compute_type: str
+    batch_size: int
+    task: str
+    language: Optional[str]  # validated code or None (detect per file)
+    align_language: str  # language the align model is loaded for
+    verbose: bool
+    print_progress: bool
+    threads: int
+    chunk_size: int
+    asr_options: dict = field(default_factory=dict)
+    vad_options: dict = field(default_factory=dict)
+    vad_checkpoint: Optional[str] = None
+    # alignment
+    do_align: bool = True
+    align_model_name: Optional[str] = None
+    interpolate_method: str = "nearest"
+    return_char_alignments: bool = False
+    # diarization
+    do_diarize: bool = False
+    min_speakers: Optional[int] = None
+    max_speakers: Optional[int] = None
+    diarize_checkpoint: Optional[str] = None
+    hf_token: Optional[str] = None
+    # output
+    output_dir: str = "."
+    output_format: str = "all"
+    writer_options: dict = field(default_factory=dict)
+
+
+def _validated_language(raw: Optional[str]) -> Optional[str]:
+    if raw is None:
+        return None
+    code = raw.lower()
+    if code in LANGUAGES:
+        return code
+    if code in TO_LANGUAGE_CODE:
+        return TO_LANGUAGE_CODE[code]
+    raise ValueError(f"Unsupported language: {raw}")
+
+
+def _temperature_schedule(base: float, increment: Optional[float]):
+    """Fallback ladder base, base+inc, ... 1.0 (reference transcribe.py:156)."""
+    if increment is None:
+        return [base]
+    return tuple(np.arange(base, 1.0 + 1e-6, increment))
+
+
+def resolve_config(ns: argparse.Namespace, parser: argparse.ArgumentParser) -> CliConfig:
+    language = _validated_language(ns.language)
+
+    if ns.model.endswith(".en") and language != "en":
+        if language is not None:
+            warnings.warn(
+                f"{ns.model} is an English-only model but received "
+                f"'{language}'; using English instead."
+            )
+        language = "en"
+
+    do_align = not ns.no_align
+    if ns.task == "translate":
+        do_align = False  # translated text cannot be phoneme-aligned to source audio
+
+    # Word-level writer options require alignment.
+    word_options = {
+        "highlight_words": ns.highlight_words,
+        "max_line_count": ns.max_line_count,
+        "max_line_width": ns.max_line_width,
+    }
+    if not do_align:
+        for name, value in word_options.items():
+            if value:
+                parser.error(f"--{name} not possible with --no_align")
+    if ns.max_line_count and not ns.max_line_width:
+        warnings.warn("--max_line_count has no effect without --max_line_width")
+
+    asr_options = {
+        "beam_size": ns.beam_size,
+        "best_of": ns.best_of,
+        "patience": ns.patience,
+        "length_penalty": ns.length_penalty,
+        "temperatures": _temperature_schedule(
+            ns.temperature, ns.temperature_increment_on_fallback
+        ),
+        "compression_ratio_threshold": ns.compression_ratio_threshold,
+        "log_prob_threshold": ns.logprob_threshold,
+        "no_speech_threshold": ns.no_speech_threshold,
+        "condition_on_previous_text": False,
+        "initial_prompt": ns.initial_prompt,
+        "suppress_tokens": [int(x) for x in ns.suppress_tokens.split(",")],
+        "suppress_numerals": ns.suppress_numerals,
+    }
+
+    return CliConfig(
+        files=list(ns.audio),
+        model_name=ns.model,
+        checkpoint=ns.checkpoint,
+        model_dir=ns.model_dir,
+        device=ns.device,
+        device_index=ns.device_index,
+        compute_type=ns.compute_type,
+        batch_size=ns.batch_size,
+        task=ns.task,
+        language=language,
+        # Reference-parity quirk: the align model (and the language written
+        # into every result) defaults to English when detection is on
+        # (whisperx/transcribe.py:226) — it affects ja/zh spacing in writers.
+        align_language=language or "en",
+        verbose=ns.verbose,
+        print_progress=ns.print_progress,
+        threads=ns.threads or 0,
+        chunk_size=ns.chunk_size,
+        asr_options=asr_options,
+        vad_options={"vad_onset": ns.vad_onset, "vad_offset": ns.vad_offset},
+        vad_checkpoint=ns.vad_checkpoint,
+        do_align=do_align,
+        align_model_name=ns.align_model,
+        interpolate_method=ns.interpolate_method,
+        return_char_alignments=ns.return_char_alignments,
+        do_diarize=ns.diarize,
+        min_speakers=ns.min_speakers,
+        max_speakers=ns.max_speakers,
+        diarize_checkpoint=ns.diarize_checkpoint,
+        hf_token=ns.hf_token,
+        output_dir=ns.output_dir,
+        output_format=ns.output_format,
+        writer_options=word_options,
+    )
+
+
+# ---------------------------------------------------------------------------
+# stages
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FileJob:
+    """One audio file's state as it moves through the stages."""
+
+    path: str
+    result: Optional[dict] = None
+    audio: Optional[np.ndarray] = None  # cached waveform (single-file runs)
+
+
+def _transcribe_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
+    """Stage 1: load Whisper once, transcribe every file, then free it."""
+    model = load_model(
+        cfg.model_name,
+        device=cfg.device,
+        device_index=cfg.device_index,
+        download_root=cfg.model_dir,
+        compute_type=cfg.compute_type,
+        language=cfg.language,
+        asr_options=cfg.asr_options,
+        vad_options=cfg.vad_options,
+        task=cfg.task,
+        threads=cfg.threads,
+        checkpoint=cfg.checkpoint,
+        vad_checkpoint=cfg.vad_checkpoint,
+    )
+    keep_audio = len(jobs) == 1  # reuse the waveform downstream instead of re-decoding
+    for job in jobs:
+        audio = load_audio(job.path)
+        if cfg.verbose or cfg.print_progress:
+            print(f"[whisperx-tpu] transcribe: {job.path}")
+        job.result = model.transcribe(
+            audio,
+            batch_size=cfg.batch_size,
+            chunk_size=cfg.chunk_size,
+            print_progress=cfg.print_progress,
+            verbose=cfg.verbose,
+        )
+        if keep_audio:
+            job.audio = audio
+    # Params pytree drops here; JAX frees the HBM for the next stage's model.
+    del model
+    gc.collect()
+
+
+def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
+    """Stage 2: word-level timestamps via wav2vec2 forced alignment."""
+    model, metadata = load_align_model(
+        cfg.align_language, cfg.device, model_name=cfg.align_model_name
+    )
+    for job in jobs:
+        if model is None or not job.result["segments"]:
+            continue
+        detected = job.result.get("language", "en")
+        if detected != metadata["language"]:
+            # Hot-swap to the detected language's default align model.
+            print(
+                f"[whisperx-tpu] align model is {metadata['language']}, file is "
+                f"{detected}: loading {detected} align model"
+            )
+            model, metadata = load_align_model(detected, cfg.device)
+        if cfg.verbose or cfg.print_progress:
+            print(f"[whisperx-tpu] align: {job.path}")
+        job.result = align(
+            job.result["segments"],
+            model,
+            metadata,
+            job.audio if job.audio is not None else job.path,
+            cfg.device,
+            interpolate_method=cfg.interpolate_method,
+            return_char_alignments=cfg.return_char_alignments,
+            print_progress=cfg.print_progress,
+        )
+    del model
+    gc.collect()
+
+
+def _diarize_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
+    """Stage 3: speaker turns + word-speaker assignment."""
+    pipeline = DiarizationPipeline(
+        use_auth_token=cfg.hf_token,
+        device=cfg.device,
+        checkpoint=cfg.diarize_checkpoint,
+    )
+    for job in jobs:
+        if cfg.verbose or cfg.print_progress:
+            print(f"[whisperx-tpu] diarize: {job.path}")
+        turns = pipeline(
+            job.audio if job.audio is not None else job.path,
+            min_speakers=cfg.min_speakers,
+            max_speakers=cfg.max_speakers,
+        )
+        job.result = assign_word_speakers(turns, job.result)
+
+
+def _write_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
+    writer = get_writer(cfg.output_format, cfg.output_dir)
+    for job in jobs:
+        # Reference-parity quirk: the detected language is overwritten with the
+        # align language before writing (whisperx/transcribe.py:226); writers
+        # key ja/zh spacing off it.
+        job.result["language"] = cfg.align_language
+        writer(job.result, job.path, cfg.writer_options)
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
 def cli(argv=None):
     from .utils import enable_compile_cache
 
     enable_compile_cache()
     parser = build_parser()
-    args = parser.parse_args(argv).__dict__
+    cfg = resolve_config(parser.parse_args(argv), parser)
+    os.makedirs(cfg.output_dir, exist_ok=True)
 
-    model_name: str = args.pop("model")
-    batch_size: int = args.pop("batch_size")
-    model_dir = args.pop("model_dir")
-    checkpoint = args.pop("checkpoint")
-    output_dir: str = args.pop("output_dir")
-    output_format: str = args.pop("output_format")
-    device: str = args.pop("device")
-    device_index: int = args.pop("device_index")
-    compute_type: str = args.pop("compute_type")
-    verbose: bool = args.pop("verbose")
-
-    os.makedirs(output_dir, exist_ok=True)
-
-    align_model_name = args.pop("align_model")
-    interpolate_method: str = args.pop("interpolate_method")
-    no_align: bool = args.pop("no_align")
-    task: str = args.pop("task")
-    if task == "translate":
-        no_align = True  # translation output cannot be phoneme-aligned
-
-    return_char_alignments: bool = args.pop("return_char_alignments")
-
-    hf_token = args.pop("hf_token")
-    vad_onset: float = args.pop("vad_onset")
-    vad_offset: float = args.pop("vad_offset")
-    vad_checkpoint = args.pop("vad_checkpoint")
-    chunk_size: int = args.pop("chunk_size")
-
-    diarize: bool = args.pop("diarize")
-    min_speakers = args.pop("min_speakers")
-    max_speakers = args.pop("max_speakers")
-    print_progress: bool = args.pop("print_progress")
-
-    if args["language"] is not None:
-        args["language"] = args["language"].lower()
-        if args["language"] not in LANGUAGES:
-            if args["language"] in TO_LANGUAGE_CODE:
-                args["language"] = TO_LANGUAGE_CODE[args["language"]]
-            else:
-                raise ValueError(f"Unsupported language: {args['language']}")
-
-    if model_name.endswith(".en") and args["language"] != "en":
-        if args["language"] is not None:
-            warnings.warn(
-                f"{model_name} is an English-only model but received "
-                f"'{args['language']}'; using English instead."
-            )
-        args["language"] = "en"
-    align_language = args["language"] if args["language"] is not None else "en"
-
-    temperature = args.pop("temperature")
-    if (increment := args.pop("temperature_increment_on_fallback")) is not None:
-        temperature = tuple(np.arange(temperature, 1.0 + 1e-6, increment))
-    else:
-        temperature = [temperature]
-
-    threads = args.pop("threads")
-
-    asr_options = {
-        "beam_size": args.pop("beam_size"),
-        "patience": args.pop("patience"),
-        "length_penalty": args.pop("length_penalty"),
-        "temperatures": temperature,
-        "compression_ratio_threshold": args.pop("compression_ratio_threshold"),
-        "log_prob_threshold": args.pop("logprob_threshold"),
-        "no_speech_threshold": args.pop("no_speech_threshold"),
-        "condition_on_previous_text": False,
-        "initial_prompt": args.pop("initial_prompt"),
-        "suppress_tokens": [int(x) for x in args.pop("suppress_tokens").split(",")],
-        "suppress_numerals": args.pop("suppress_numerals"),
-        "best_of": args.pop("best_of"),
-    }
-    args.pop("condition_on_previous_text", None)
-    args.pop("fp16", None)
-    args.pop("segment_resolution", None)
-
-    writer = get_writer(output_format, output_dir)
-    word_options = ["highlight_words", "max_line_count", "max_line_width"]
-    if no_align:
-        for option in word_options:
-            if args[option]:
-                parser.error(f"--{option} not possible with --no_align")
-    if args["max_line_count"] and not args["max_line_width"]:
-        warnings.warn("--max_line_count has no effect without --max_line_width")
-    writer_args = {arg: args.pop(arg) for arg in word_options}
-
-    # ---- Part 1: VAD & ASR ------------------------------------------------
-    results = []
-    model = load_model(
-        model_name,
-        device=device,
-        device_index=device_index,
-        download_root=model_dir,
-        compute_type=compute_type,
-        language=args["language"],
-        asr_options=asr_options,
-        vad_options={"vad_onset": vad_onset, "vad_offset": vad_offset},
-        task=task,
-        threads=threads or 0,
-        checkpoint=checkpoint,
-        vad_checkpoint=vad_checkpoint,
-    )
-
-    # Multi-host fleets: each process transcribes its round-robin share of
-    # the file list (data parallelism over files; see parallel/distributed).
-    audio_files = args.pop("audio")
+    # Multi-host fleets: each process owns a round-robin share of the file
+    # list (coarse data parallelism; see parallel/distributed.shard_files).
     import jax
 
+    files = cfg.files
     if jax.process_count() > 1:
         from .parallel.distributed import shard_files
 
-        audio_files = shard_files(audio_files)
+        files = shard_files(files)
 
-    audio_cache = None
-    for audio_path in audio_files:
-        audio_cache = load_audio(audio_path)
-        print(">>Performing transcription...")
-        result = model.transcribe(
-            audio_cache,
-            batch_size=batch_size,
-            chunk_size=chunk_size,
-            print_progress=print_progress,
-            verbose=verbose,
-        )
-        results.append((result, audio_path))
-
-    # release model params between phases (keeps peak HBM low)
-    del model
-    gc.collect()
-
-    # ---- Part 2: Alignment --------------------------------------------------
-    if not no_align:
-        tmp_results = results
-        results = []
-        align_model, align_metadata = load_align_model(
-            align_language, device, model_name=align_model_name
-        )
-        for result, audio_path in tmp_results:
-            input_audio = audio_path if len(tmp_results) > 1 else audio_cache
-            if align_model is not None and len(result["segments"]) > 0:
-                if result.get("language", "en") != align_metadata["language"]:
-                    print(
-                        f"New language found ({result['language']})! Previous was "
-                        f"({align_metadata['language']}), loading new alignment model..."
-                    )
-                    align_model, align_metadata = load_align_model(result["language"], device)
-                print(">>Performing alignment...")
-                result = align(
-                    result["segments"],
-                    align_model,
-                    align_metadata,
-                    input_audio,
-                    device,
-                    interpolate_method=interpolate_method,
-                    return_char_alignments=return_char_alignments,
-                    print_progress=print_progress,
-                )
-            results.append((result, audio_path))
-        del align_model
-        gc.collect()
-
-    # ---- Part 3: Diarization ------------------------------------------------
-    if diarize:
-        tmp_results = results
-        print(">>Performing diarization...")
-        results = []
-        diarize_model = DiarizationPipeline(use_auth_token=hf_token, device=device)
-        for result, input_audio_path in tmp_results:
-            diarize_segments = diarize_model(
-                input_audio_path, min_speakers=min_speakers, max_speakers=max_speakers
-            )
-            result = assign_word_speakers(diarize_segments, result)
-            results.append((result, input_audio_path))
-
-    # ---- Write ----------------------------------------------------------------
-    for result, audio_path in results:
-        # Reference-parity quirk: the CLI overwrites the detected language with
-        # the align language before writing (whisperx/transcribe.py:226), which
-        # affects ja/zh spacing in subtitle writers. Kept for output parity.
-        result["language"] = align_language
-        writer(result, audio_path, writer_args)
+    jobs = [FileJob(path) for path in files]
+    _transcribe_stage(cfg, jobs)
+    if cfg.do_align:
+        _align_stage(cfg, jobs)
+    if cfg.do_diarize:
+        _diarize_stage(cfg, jobs)
+    _write_stage(cfg, jobs)
 
 
 if __name__ == "__main__":

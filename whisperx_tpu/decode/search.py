@@ -58,10 +58,10 @@ class SearchOptions:
     cross_attn: str = "auto"
     # Candidate-selection impl for the per-step (B, K*V) top-2K: "exact" →
     # lax.top_k (full sort-based reduction); "approx" → lax.approx_max_k with
-    # recall_target=1.0 — still exact results (verified: tests/test_decode.py)
-    # but lowered to the TPU-optimized PartialReduce op, which is
-    # substantially cheaper than top_k at V≈52k. "auto" currently resolves
-    # to exact pending an on-chip A/B. Env override: WHISPERX_TOPK.
+    # recall_target=1.0 — exact *values* (tie order among exactly-equal
+    # scores is unspecified; tests compare sorted pairs) lowered to the
+    # TPU-optimized PartialReduce op, substantially cheaper than top_k at
+    # V≈52k. "auto" resolves via the WHISPERX_TOPK env var, else "exact".
     topk: str = "auto"
 
 
@@ -91,12 +91,19 @@ def length_penalized(score, length, alpha: float):
 
 
 def _resolve_topk(opts: SearchOptions) -> Callable:
-    """top-k implementation for the hot (B, K*V) candidate selection."""
+    """top-k implementation for the hot (B, K*V) candidate selection.
+
+    An explicit ``opts.topk`` wins; the WHISPERX_TOPK env var only fills the
+    "auto" case (read at trace time — the jit cache keys on static opts, so
+    changing the env var after the first compile has no effect).
+    """
     import os
 
-    impl = os.environ.get("WHISPERX_TOPK", "") or opts.topk
+    impl = opts.topk
     if impl == "auto":
-        impl = "exact"
+        impl = os.environ.get("WHISPERX_TOPK", "") or "exact"
+    if impl not in ("exact", "approx"):
+        raise ValueError(f"unknown top-k impl {impl!r}: expected exact|approx|auto")
     if impl == "approx":
         return functools.partial(
             jax.lax.approx_max_k, recall_target=1.0, aggregate_to_topk=True

@@ -4,11 +4,14 @@ TPU-native replacement for the embedding stage of pyannote's
 speaker-diarization-3.1 (whisperx/diarize.py:19,28 runs it opaquely in
 torch). Two backends:
 
-- ``ResNet34Embedding``: the WeSpeaker r34 speaker network (conv stem, 4
-  residual stages [3,4,6,3] over an 80-mel fbank "image", temporal
-  statistics pooling, linear projection) in Flax — the architecture behind
-  the checkpoint pyannote 3.1 ships; a converter in models/convert.py-style
-  mapping loads it when present.
+- ``ResNet34Embedding``: the WeSpeaker ResNet34 speaker network — the exact
+  architecture behind the ``wespeaker-voxceleb-resnet34-LM`` checkpoint
+  pyannote 3.1 ships: kaldi-fbank 80-mel "image" (freq × time), 3×3 conv
+  stem, 4 residual stages of [3,4,6,3] BasicBlocks at 32/64/128/256
+  channels, temporal statistics pooling (mean ‖ unbiased std, channel-major
+  flatten) and a linear projection to 256-d. Weight layout matches the torch
+  checkpoint 1:1 so ``models/convert.py:convert_wespeaker_resnet34`` can load
+  real weights (torch-forward parity test: tests/test_diarize.py).
 - ``MelStatsEmbedding``: weight-free fallback (log-mel moment statistics +
   delta features), enough to separate distinct speakers offline and to keep
   the full pipeline runnable with zero checkpoints.
@@ -18,89 +21,112 @@ Embeddings for all windows of a file are computed as one batched jit call.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..audio.constants import SAMPLE_RATE
+from ..utils import bucket_rows as _bucket_rows
 
 
 def _window_logmel(wavs: jax.Array, n_mels: int = 80) -> jax.Array:
-    """(B, T) waveforms → (B, frames, n_mels) log-mel features."""
+    """(B, T) waveforms → (B, frames, n_mels) Whisper-style log-mel."""
     from ..audio.mel import log_mel_spectrogram
 
     mel = log_mel_spectrogram(wavs, n_mels=n_mels)  # (B, n_mels, frames)
     return mel.transpose(0, 2, 1)
 
 
-class ResBlock(nn.Module):
+class WeSpeakerBasicBlock(nn.Module):
+    """conv3x3-bn-relu-conv3x3-bn + (optional 1x1 projection) residual."""
+
     channels: int
     stride: int = 1
+    in_channels: int = 0
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride), padding=1, use_bias=False)(x)
-        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9)(y)
+        s = (self.stride, self.stride)
+        y = nn.Conv(self.channels, (3, 3), strides=s, padding=1, use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False)(y)
-        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9)(y)
-        if self.stride != 1 or x.shape[-1] != self.channels:
-            x = nn.Conv(self.channels, (1, 1), strides=(self.stride, self.stride), use_bias=False, name="downsample_conv")(x)
-            x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9, name="downsample_bn")(x)
+        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn2")(y)
+        if self.stride != 1 or self.in_channels != self.channels:
+            x = nn.Conv(
+                self.channels, (1, 1), strides=s, use_bias=False, name="shortcut_conv"
+            )(x)
+            x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="shortcut_bn")(x)
         return nn.relu(x + y)
 
 
 class ResNet34Embedding(nn.Module):
-    """WeSpeaker-style r34: fbank image → 256-d speaker embedding."""
+    """WeSpeaker ResNet34: (B, T, F) fbank → (B, embed_dim) speaker embedding.
+
+    Layout mirrors wespeaker's torch model exactly — image is (freq, time)
+    with explicit (1,1) conv padding, stats pooling flattens channel-major —
+    so converted checkpoints are bit-compatible (modulo float assoc).
+    """
 
     embed_dim: int = 256
     base_channels: int = 32
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    two_emb_layer: bool = False
 
     @nn.compact
     def __call__(self, feats: jax.Array) -> jax.Array:
-        # feats: (B, T, F=80) → image (B, T, F, 1)
-        x = feats[..., None]
-        x = nn.Conv(self.base_channels, (3, 3), padding=1, use_bias=False, name="stem_conv")(x)
-        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9, name="stem_bn")(x)
+        # (B, T, F) → NHWC image (B, H=F, W=T, 1): torch runs NCHW (B,1,F,T).
+        x = feats.transpose(0, 2, 1)[..., None]
+        x = nn.Conv(self.base_channels, (3, 3), padding=1, use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
+        ch_in = self.base_channels
         ch = self.base_channels
         for s, blocks in enumerate(self.stage_blocks):
             for b in range(blocks):
                 stride = 2 if (s > 0 and b == 0) else 1
-                x = ResBlock(ch, stride=stride, name=f"stage{s}_block{b}")(x)
+                x = WeSpeakerBasicBlock(
+                    ch, stride=stride, in_channels=ch_in, name=f"layer{s + 1}_{b}"
+                )(x)
+                ch_in = ch
             ch *= 2
-        # x: (B, T', F', C) → flatten freq into channels, stats-pool over time
-        B, T, F, C = x.shape
-        x = x.transpose(0, 1, 3, 2).reshape(B, T, C * F)
-        mean = jnp.mean(x, axis=1)
-        std = jnp.sqrt(jnp.clip(jnp.var(x, axis=1), 1e-7, None))
+        # Temporal statistics pooling over time (W axis), channel-major
+        # flatten (torch reshapes (B, C, F', T') → (B, C·F', T')).
+        mean = jnp.mean(x, axis=2)  # (B, F', C)
+        var = jnp.var(x, axis=2, ddof=1)  # unbiased, torch.var default
+        std = jnp.sqrt(var + 1e-7)
+        B = x.shape[0]
+        mean = mean.transpose(0, 2, 1).reshape(B, -1)  # (B, C·F')
+        std = std.transpose(0, 2, 1).reshape(B, -1)
         stats = jnp.concatenate([mean, std], axis=-1)
-        return nn.Dense(self.embed_dim, name="embedding")(stats)
-
-
-from ..utils import bucket_rows as _bucket_rows
+        emb = nn.Dense(self.embed_dim, name="seg_1")(stats)
+        if self.two_emb_layer:
+            y = nn.relu(emb)
+            y = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="seg_bn_1")(y)
+            emb = nn.Dense(self.embed_dim, name="seg_2")(y)
+        return emb
 
 
 class NeuralSpeakerEmbedding:
     """Batched window → embedding inference wrapper.
 
-    The jitted forward is built once (per instance) and window batches are
-    padded to a row granule — otherwise every distinct window count would be
-    a fresh compile signature (minutes each on a remote TPU relay).
+    Features are kaldi fbank (hamming, CMN) — the WeSpeaker front end — and
+    the jitted forward is built once per instance; window batches pad to a
+    row granule so every distinct window count isn't a fresh compile
+    signature (minutes each on a remote TPU relay).
     """
 
     def __init__(self, model: nn.Module, variables, n_mels: int = 80):
+        from ..audio.fbank import kaldi_fbank
+
         self.model = model
         self.variables = variables  # {"params": ..., "batch_stats": ...}
         self.n_mels = n_mels
 
         def fwd(variables, wavs):
-            feats = _window_logmel(wavs, self.n_mels)
+            feats = kaldi_fbank(wavs, num_mel_bins=self.n_mels)
             emb = self.model.apply(variables, feats)
             return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
@@ -138,9 +164,9 @@ class MelStatsEmbedding:
         return np.asarray(_melstats_fwd_jit(jnp.asarray(padded)))[:B]
 
 
-def init_resnet34_params(seed: int = 0, embed_dim: int = 256):
-    """Random-init r34 variables (tests/benchmarks without weights)."""
-    model = ResNet34Embedding(embed_dim=embed_dim)
+def init_resnet34_params(seed: int = 0, embed_dim: int = 256, stage_blocks=(3, 4, 6, 3)):
+    """Random-init WeSpeaker r34 variables (tests/benchmarks without weights)."""
+    model = ResNet34Embedding(embed_dim=embed_dim, stage_blocks=tuple(stage_blocks))
     feats = jax.ShapeDtypeStruct((1, 150, 80), jnp.float32)
     shapes = jax.eval_shape(lambda f: model.init(jax.random.PRNGKey(0), f), feats)
     rng = np.random.default_rng(seed)

@@ -42,14 +42,16 @@ class DiarizationPipeline:
     ):
         if embedder is None:
             if checkpoint:
-                from .embed import NeuralSpeakerEmbedding, ResNet34Embedding
-                from ..models.convert import load_state_dict
+                # WeSpeaker ResNet34 (the embedding model inside the
+                # reference's pyannote/speaker-diarization-3.1,
+                # whisperx/diarize.py:19) converted to Flax.
+                from ..models.convert import load_wespeaker_resnet34
+                from .embed import NeuralSpeakerEmbedding
 
-                raise NotImplementedError(
-                    "r34 checkpoint conversion lands with the diarization "
-                    "weight converter; pass embedder=... meanwhile"
-                )
-            embedder = MelStatsEmbedding()
+                net, variables = load_wespeaker_resnet34(checkpoint)
+                embedder = NeuralSpeakerEmbedding(net, variables)
+            else:
+                embedder = MelStatsEmbedding()
         self.embedder = embedder
         self.vad = vad or VadPipeline(EnergyVAD())
         self.window = window

@@ -361,3 +361,91 @@ def load_pyannet_vad(path: str):
     lstm_layers = len(params["lstm"]) // 2
     model = PyanNetVAD(num_classes=num_classes, lstm_layers=lstm_layers)
     return model, params
+
+
+# ---------------------------------------------------------------------------
+# WeSpeaker ResNet34 speaker embedding (diarization)
+# ---------------------------------------------------------------------------
+
+def _conv2d(sd, prefix):
+    """torch conv2d weight (out, in, kh, kw) → Flax kernel (kh, kw, in, out)."""
+    return {"kernel": sd[prefix + ".weight"].transpose(2, 3, 1, 0).astype(np.float32)}
+
+
+def _batchnorm(sd, prefix):
+    """torch BN → (params {scale,bias}, batch_stats {mean,var})."""
+    return (
+        {
+            "scale": sd[prefix + ".weight"].astype(np.float32),
+            "bias": sd[prefix + ".bias"].astype(np.float32),
+        },
+        {
+            "mean": sd[prefix + ".running_mean"].astype(np.float32),
+            "var": sd[prefix + ".running_var"].astype(np.float32),
+        },
+    )
+
+
+def convert_wespeaker_resnet34(sd: dict) -> tuple[dict, dict]:
+    """WeSpeaker ResNet34 state dict → (Flax variables, model kwargs).
+
+    Accepts the pyannote wrapper layout (``resnet.``-prefixed — the
+    ``wespeaker-voxceleb-resnet34-LM`` checkpoint behind the reference's
+    pyannote/speaker-diarization-3.1, whisperx/diarize.py:19) or a bare
+    wespeaker export. The residual projection may be named ``shortcut`` or
+    ``downsample``. Returns kwargs (embed_dim/stage_blocks/two_emb_layer)
+    inferred from the checkpoint so ``ResNet34Embedding`` matches exactly.
+    """
+    for prefix in ("model.", "resnet.", "speaker_encoder."):
+        if any(k.startswith(prefix) for k in sd):
+            sd = {
+                (k[len(prefix):] if k.startswith(prefix) else k): v for k, v in sd.items()
+            }
+
+    params: dict[str, Any] = {"conv1": _conv2d(sd, "conv1")}
+    stats: dict[str, Any] = {}
+    params["bn1"], stats["bn1"] = _batchnorm(sd, "bn1")
+
+    stage_blocks = []
+    for stage in range(1, 5):
+        n_blocks = len(
+            {k.split(".")[1] for k in sd if k.startswith(f"layer{stage}.")}
+        )
+        stage_blocks.append(n_blocks)
+        for b in range(n_blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            block_p: dict[str, Any] = {"conv1": _conv2d(sd, src + ".conv1")}
+            block_s: dict[str, Any] = {}
+            block_p["bn1"], block_s["bn1"] = _batchnorm(sd, src + ".bn1")
+            block_p["conv2"] = _conv2d(sd, src + ".conv2")
+            block_p["bn2"], block_s["bn2"] = _batchnorm(sd, src + ".bn2")
+            for proj in ("shortcut", "downsample"):
+                if src + f".{proj}.0.weight" in sd:
+                    block_p["shortcut_conv"] = _conv2d(sd, src + f".{proj}.0")
+                    block_p["shortcut_bn"], block_s["shortcut_bn"] = _batchnorm(
+                        sd, src + f".{proj}.1"
+                    )
+                    break
+            params[dst] = block_p
+            stats[dst] = block_s
+
+    params["seg_1"] = _linear(sd, "seg_1")
+    kwargs = {
+        "embed_dim": int(sd["seg_1.weight"].shape[0]),
+        "stage_blocks": tuple(stage_blocks),
+        "two_emb_layer": "seg_2.weight" in sd,
+    }
+    if kwargs["two_emb_layer"]:
+        params["seg_bn_1"], stats["seg_bn_1"] = _batchnorm(sd, "seg_bn_1")
+        params["seg_2"] = _linear(sd, "seg_2")
+    return {"params": params, "batch_stats": stats}, kwargs
+
+
+def load_wespeaker_resnet34(path: str):
+    """Speaker-embedding checkpoint → (ResNet34Embedding, Flax variables)."""
+    from ..diarize.embed import ResNet34Embedding
+
+    sd = load_state_dict(path)
+    variables, kwargs = convert_wespeaker_resnet34(sd)
+    return ResNet34Embedding(**kwargs), variables
