@@ -1,11 +1,16 @@
-"""Accuracy harness: WER and word-timestamp F1 (the benchmarking the
-reference never shipped — its README TODO at reference README.md:260).
+"""Accuracy harness: WER, word-timestamp F1 and diarization DER (the
+benchmarking the reference never shipped — its README TODO at reference
+README.md:260).
 
 Pure-python metrics over result dicts:
 - `wer(ref, hyp)`: word error rate via Levenshtein alignment after Whisper-ish
   text normalization.
 - `word_timestamp_f1(ref_words, hyp_words, tol)`: greedy time-windowed
   matching of identical words; F1 at a tolerance (BASELINE.md: 200 ms).
+- `der(ref_turns, hyp_turns, collar)`: diarization error rate with optimal
+  speaker mapping and overlap handling (NIST md-eval semantics), over
+  (start, end, speaker) turn lists (`turns_from_dataframe` adapts the
+  DiarizationPipeline output).
 
 Usage: `python -m benchmarks.eval ref.json hyp.json [--tol 0.2]` where each
 json is an (Aligned)TranscriptionResult.
@@ -95,6 +100,87 @@ def word_timestamp_f1(
     recall = matches / n_ref if n_ref else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {"precision": precision, "recall": recall, "f1": f1, "matches": matches}
+
+
+def turns_from_dataframe(df) -> List[tuple]:
+    """DiarizationPipeline DataFrame → [(start, end, speaker), ...]."""
+    return [
+        (float(r["start"]), float(r["end"]), str(r["speaker"]))
+        for _, r in df.iterrows()
+    ]
+
+
+def der(
+    ref_turns: List[tuple],  # (start, end, speaker)
+    hyp_turns: List[tuple],
+    collar: float = 0.0,
+) -> dict:
+    """Diarization error rate with overlap and optimal speaker mapping.
+
+    NIST md-eval semantics: the timeline is split at every turn boundary; in
+    each elementary interval with R active reference speakers and H active
+    hypothesis speakers, miss += max(0, R-H), false alarm += max(0, H-R) and
+    confusion += min(R, H) - (matched pairs), all weighted by duration. The
+    ref↔hyp speaker mapping maximizes total attributed time (Hungarian over
+    the pairwise-overlap matrix). ``collar`` excludes ±collar seconds around
+    every reference boundary. Returns components + ``der`` (relative to total
+    reference speech time).
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    ref_turns = [(s, e, spk) for s, e, spk in ref_turns if e > s]
+    hyp_turns = [(s, e, spk) for s, e, spk in hyp_turns if e > s]
+    ref_speakers = sorted({spk for _, _, spk in ref_turns})
+    hyp_speakers = sorted({spk for _, _, spk in hyp_turns})
+    r_idx = {s: i for i, s in enumerate(ref_speakers)}
+    h_idx = {s: i for i, s in enumerate(hyp_speakers)}
+
+    points = sorted(
+        {t for s, e, _ in ref_turns for t in (s, e)}
+        | {t for s, e, _ in hyp_turns for t in (s, e)}
+        | {b for s, e, _ in ref_turns for b in (s - collar, s + collar, e - collar, e + collar)}
+    )
+    scored: List[tuple] = []  # (duration, ref-set, hyp-set) per elementary interval
+    for a, b in zip(points[:-1], points[1:]):
+        if b <= a:
+            continue
+        if collar > 0.0 and any(
+            boundary - collar < (a + b) / 2 < boundary + collar
+            for s, e, _ in ref_turns
+            for boundary in (s, e)
+        ):
+            continue
+        mid = (a + b) / 2
+        active_r = frozenset(r_idx[spk] for s, e, spk in ref_turns if s < mid < e)
+        active_h = frozenset(h_idx[spk] for s, e, spk in hyp_turns if s < mid < e)
+        if active_r or active_h:
+            scored.append((b - a, active_r, active_h))
+
+    # Global optimal speaker mapping over pairwise overlap time.
+    import numpy as np
+
+    overlap = np.zeros((max(len(ref_speakers), 1), max(len(hyp_speakers), 1)))
+    for d, rs, hs in scored:
+        for i in rs:
+            for j in hs:
+                overlap[i, j] += d
+    rows, cols = linear_sum_assignment(-overlap)
+    mapped = {(i, j) for i, j in zip(rows, cols) if overlap[i, j] > 0}
+
+    total = miss = fa = conf = 0.0
+    for d, rs, hs in scored:
+        total += d * len(rs)
+        matched = sum(1 for i in rs for j in hs if (i, j) in mapped)
+        miss += d * max(0, len(rs) - len(hs))
+        fa += d * max(0, len(hs) - len(rs))
+        conf += d * (min(len(rs), len(hs)) - matched)
+    return {
+        "der": (miss + fa + conf) / total if total else 0.0,
+        "miss": miss,
+        "false_alarm": fa,
+        "confusion": conf,
+        "total_speech": total,
+    }
 
 
 def evaluate(ref_result: dict, hyp_result: dict, tol: float = 0.2) -> dict:

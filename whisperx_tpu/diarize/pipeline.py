@@ -48,8 +48,8 @@ class DiarizationPipeline:
                 from ..models.convert import load_wespeaker_resnet34
                 from .embed import NeuralSpeakerEmbedding
 
-                net, variables = load_wespeaker_resnet34(checkpoint)
-                embedder = NeuralSpeakerEmbedding(net, variables)
+                net, variables, n_mels = load_wespeaker_resnet34(checkpoint)
+                embedder = NeuralSpeakerEmbedding(net, variables, n_mels=n_mels)
             else:
                 embedder = MelStatsEmbedding()
         self.embedder = embedder

@@ -433,6 +433,7 @@ def convert_wespeaker_resnet34(sd: dict) -> tuple[dict, dict]:
     params["seg_1"] = _linear(sd, "seg_1")
     kwargs = {
         "embed_dim": int(sd["seg_1.weight"].shape[0]),
+        "base_channels": int(sd["conv1.weight"].shape[0]),
         "stage_blocks": tuple(stage_blocks),
         "two_emb_layer": "seg_2.weight" in sd,
     }
@@ -443,9 +444,17 @@ def convert_wespeaker_resnet34(sd: dict) -> tuple[dict, dict]:
 
 
 def load_wespeaker_resnet34(path: str):
-    """Speaker-embedding checkpoint → (ResNet34Embedding, Flax variables)."""
+    """Speaker-embedding checkpoint → (ResNet34Embedding, variables, n_mels).
+
+    ``n_mels`` (the fbank dim the net was trained on — 80 for the pyannote
+    3.1 checkpoint) is recovered from seg_1's input width: it equals
+    2 · C_final · ceil(n_mels / 2^n_downsamples).
+    """
     from ..diarize.embed import ResNet34Embedding
 
     sd = load_state_dict(path)
     variables, kwargs = convert_wespeaker_resnet34(sd)
-    return ResNet34Embedding(**kwargs), variables
+    c_final = kwargs["base_channels"] * 2 ** (len(kwargs["stage_blocks"]) - 1)
+    seg_in = variables["params"]["seg_1"]["kernel"].shape[0]
+    n_mels = (seg_in // (2 * c_final)) * 2 ** (len(kwargs["stage_blocks"]) - 1)
+    return ResNet34Embedding(**kwargs), variables, n_mels
