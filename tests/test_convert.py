@@ -209,3 +209,102 @@ def test_whisper_distil_style_conversion_parity():
         model.apply({"params": params}, jnp.asarray(mel), jnp.asarray(tokens.astype(np.int32)))
     )
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=1e-4)
+
+
+def test_pyannet_conversion_parity():
+    """convert_pyannet vs a torch PyanNet replica (torch = oracle only).
+
+    The torch side uses genuine torch modules (nn.Conv1d, nn.InstanceNorm1d,
+    nn.LSTM with the pyannote state-dict layout) so the conversion mapping —
+    conv transposes, LSTM gate packing per direction/layer, norm reshapes —
+    is pinned against an independent implementation; the sinc filterbank
+    construction follows the same published recipe on both sides.
+    """
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from whisperx_tpu.models.convert import convert_pyannet
+    from whisperx_tpu.models.vad_net import PyanNetVAD, SINC_KERNEL, SINC_STRIDE
+
+    n_filters, n_classes, lstm_layers = 80, 3, 2
+
+    class SincFB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            # Same mel-spaced init recipe as the published SincNet.
+            low, high = 30.0, 8000.0 - 130.0
+            mel = np.linspace(
+                2595 * np.log10(1 + low / 700), 2595 * np.log10(1 + high / 700), n_filters + 1
+            )
+            hz = 700 * (10 ** (mel / 2595) - 1)
+            self.low_hz_ = nn.Parameter(torch.tensor(hz[:-1, None], dtype=torch.float32))
+            self.band_hz_ = nn.Parameter(torch.tensor(np.diff(hz)[:, None], dtype=torch.float32))
+
+        def filters(self):
+            low = 50.0 + torch.abs(self.low_hz_)
+            high = torch.clamp(low + 50.0 + torch.abs(self.band_hz_), 50.0, 8000.0)
+            band = (high - low)[:, 0]
+            half = (SINC_KERNEL - 1) // 2
+            n = torch.arange(-half, 0, dtype=torch.float32)[None, :]
+            n_2pi = 2 * torch.pi * n / 16000.0
+            window = 0.54 - 0.46 * torch.cos(
+                2 * torch.pi * torch.arange(half, dtype=torch.float32) / SINC_KERNEL
+            )
+            bp_left = ((torch.sin(high * n_2pi) - torch.sin(low * n_2pi)) / (n_2pi / 2)) * window
+            bp_center = 2 * band[:, None]
+            filt = torch.cat([bp_left, bp_center, bp_left.flip(-1)], dim=1)
+            return (filt / (2 * band[:, None]))[:, None, :]  # (out, 1, k)
+
+        def forward(self, x):
+            return F.conv1d(x, self.filters(), stride=SINC_STRIDE)
+
+    class TorchPyanNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.sincnet = nn.Module()
+            self.sincnet.wav_norm1d = nn.InstanceNorm1d(1, affine=True)
+            self.sincnet.conv1d = nn.ModuleList(
+                [SincFB(), nn.Conv1d(n_filters, 60, 5), nn.Conv1d(60, 60, 5)]
+            )
+            self.sincnet.norm1d = nn.ModuleList(
+                [nn.InstanceNorm1d(c, affine=True) for c in (n_filters, 60, 60)]
+            )
+            self.lstm = nn.LSTM(
+                60, 128, num_layers=lstm_layers, bidirectional=True, batch_first=True
+            )
+            self.linear = nn.ModuleList([nn.Linear(256, 128), nn.Linear(128, 128)])
+            self.classifier = nn.Linear(128, n_classes)
+
+        def forward(self, wav):  # (B, T)
+            x = self.sincnet.wav_norm1d(wav[:, None, :])
+            x = torch.abs(self.sincnet.conv1d[0](x))
+            x = F.leaky_relu(self.sincnet.norm1d[0](F.max_pool1d(x, 3, 3)))
+            for i in (1, 2):
+                x = self.sincnet.conv1d[i](x)
+                x = F.leaky_relu(self.sincnet.norm1d[i](F.max_pool1d(x, 3, 3)))
+            x, _ = self.lstm(x.permute(0, 2, 1))
+            for lin in self.linear:
+                x = F.leaky_relu(lin(x))
+            return torch.sigmoid(self.classifier(x))
+
+    torch.manual_seed(11)
+    net = TorchPyanNet().eval()
+    # Perturb affine norms away from identity so their conversion is exercised.
+    with torch.no_grad():
+        for norm in [net.sincnet.wav_norm1d, *net.sincnet.norm1d]:
+            norm.weight += 0.1 * torch.randn_like(norm.weight)
+            norm.bias += 0.1 * torch.randn_like(norm.bias)
+
+    wav = np.random.default_rng(5).standard_normal((2, 16000)).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = net(torch.from_numpy(wav)).numpy()
+
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params, num_classes = convert_pyannet(sd)
+    assert num_classes == n_classes
+    model = PyanNetVAD(num_classes=num_classes, lstm_layers=lstm_layers)
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(wav)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

@@ -157,3 +157,24 @@ def test_merge_vad_no_options_passthrough():
     segs = [(3.0, 4.0), (1.0, 2.0)]
     turns = merge_vad(segs)
     assert [(t.start, t.end) for t in turns] == [(1.0, 2.0), (3.0, 4.0)]
+
+
+def test_vad_checkpoint_sha256_verification(tmp_path):
+    """SHA256 gate mirrors the reference's pinned-checkpoint check
+    (whisperx/vad.py:46-49): strict with an expectation, warning otherwise."""
+    import hashlib
+    import warnings
+
+    import pytest
+
+    from whisperx_tpu.vad.model import verify_checkpoint_sha256
+
+    ckpt = tmp_path / "weights.bin"
+    ckpt.write_bytes(b"definitely not the pinned checkpoint")
+    digest = hashlib.sha256(ckpt.read_bytes()).hexdigest()
+
+    assert verify_checkpoint_sha256(str(ckpt), digest) == digest
+    with pytest.raises(RuntimeError, match="SHA256 mismatch"):
+        verify_checkpoint_sha256(str(ckpt), "0" * 64)
+    with pytest.warns(UserWarning, match="pinned reference"):
+        verify_checkpoint_sha256(str(ckpt), None)

@@ -86,9 +86,9 @@ class WhisperPipeline:
         tokenizer: Optional[WhisperTokenizer] = None,
         language: Optional[str] = None,
         suppress_numerals: bool = False,
+        mesh: Any = None,
     ):
         self.engine = engine
-        self.params = params
         self.vad_model = vad
         self._vad_params = vad_params
         self.options = options
@@ -96,9 +96,30 @@ class WhisperPipeline:
         self.preset_language = language
         self.suppress_numerals = suppress_numerals
         self.model = engine.model
+        # In-process multi-chip data parallelism: with a mesh, params are
+        # placed once (replicated for DP, tensor-sharded where the partition
+        # rules apply) and every chunk batch is sharded on the "data" axis —
+        # the scaling answer the reference never had (whisperx/asr.py:78-80
+        # just moves encoder output to CPU).
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            params = shard_params(params, mesh)
+        self.params = params
         from ..utils.telemetry import PipelineTelemetry
 
         self.telemetry = PipelineTelemetry()
+
+    def _mesh_scope(self):
+        import contextlib
+
+        import jax
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None else contextlib.nullcontext()
+
+    def _data_granule(self) -> int:
+        return int(self.mesh.devices.shape[0]) if self.mesh is not None else 1
 
     # -- helpers -------------------------------------------------------------
 
@@ -145,7 +166,16 @@ class WhisperPipeline:
                 f2 = int(seg["end"] * SAMPLE_RATE)
                 clip = audio[f1:f2][:N_SAMPLES]
                 wavs[row, : len(clip)] = clip
-            mel = log_mel_spectrogram(jnp.asarray(wavs), n_mels=n_mels)
+            if self.mesh is not None:
+                # Shard the waveform batch on "data" so the mel front-end and
+                # decode both run data-parallel across the mesh.
+                from ..parallel import shard_batch
+
+                wav_arr = shard_batch(self.mesh, wavs)
+            else:
+                wav_arr = jnp.asarray(wavs)
+            with self._mesh_scope():
+                mel = log_mel_spectrogram(wav_arr, n_mels=n_mels)
             yield mel.astype(self.engine.model.dtype), len(batch)
 
     # -- public API ------------------------------------------------------------
@@ -166,6 +196,9 @@ class WhisperPipeline:
             audio = load_audio(audio)
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         batch_size = batch_size or 8
+        # Batch rows must tile the mesh's data axis exactly (fixed shapes).
+        granule = self._data_granule()
+        batch_size = -(-batch_size // granule) * granule
         total_audio = len(audio) / SAMPLE_RATE
 
         with self.telemetry.stage("vad", audio_seconds=total_audio):
@@ -213,11 +246,12 @@ class WhisperPipeline:
         with self.telemetry.stage("asr_decode", audio_seconds=total_audio_s):
             in_flight = None
             for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
-                result = engine.generate(
-                    self.params, mel, options=search_opts,
-                    initial_prompt=self.options.initial_prompt,
-                    sync=False,
-                )
+                with self._mesh_scope():
+                    result = engine.generate(
+                        self.params, mel, options=search_opts,
+                        initial_prompt=self.options.initial_prompt,
+                        sync=False,
+                    )
                 if in_flight is not None:
                     consume(*in_flight)
                     done += in_flight[1]
@@ -290,11 +324,12 @@ class WhisperPipeline:
             new_lps: List[float] = []
             done = 0
             for mel, n_valid in self._feature_batches(audio, retry_segments, batch_size):
-                result = engine.generate(
-                    self.params, mel, options=fb_opts,
-                    initial_prompt=opts.initial_prompt,
-                    rng=jax.random.PRNGKey(hash((t_i, done)) & 0x7FFFFFFF),
-                )
+                with self._mesh_scope():
+                    result = engine.generate(
+                        self.params, mel, options=fb_opts,
+                        initial_prompt=opts.initial_prompt,
+                        rng=jax.random.PRNGKey(hash((t_i, done)) & 0x7FFFFFFF),
+                    )
                 new_texts.extend(engine.decode_text(result)[:n_valid])
                 new_lps.extend(result.avg_logprobs[:n_valid].tolist())
                 done += n_valid
@@ -319,10 +354,19 @@ class WhisperPipeline:
         if audio.shape[0] < N_SAMPLES:
             print("Warning: audio is shorter than 30s, language detection may be inaccurate.")
         clip = pad_or_trim(audio[:N_SAMPLES])
-        mel = log_mel_spectrogram(
-            jnp.asarray(clip[None]), n_mels=self.engine.config.n_mels
-        ).astype(self.engine.model.dtype)
-        (language, prob), = self.engine.detect_language(self.params, mel)
+        # Tile the single clip over the mesh's data axis (fixed shapes).
+        rows = np.tile(clip[None], (self._data_granule(), 1))
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            rows = shard_batch(self.mesh, rows)
+        else:
+            rows = jnp.asarray(rows)
+        with self._mesh_scope():
+            mel = log_mel_spectrogram(rows, n_mels=self.engine.config.n_mels).astype(
+                self.engine.model.dtype
+            )
+            (language, prob) = self.engine.detect_language(self.params, mel)[0]
         print(f"Detected language: {language} ({prob:.2f}) in first 30s of audio...")
         return language
 
@@ -352,6 +396,7 @@ def load_model(
     threads: int = 0,
     checkpoint: Optional[str] = None,
     vad_checkpoint: Optional[str] = None,
+    mesh: Any = "auto",
 ) -> WhisperPipeline:
     """Build the transcription pipeline (reference load_model API, asr.py:259).
 
@@ -359,8 +404,23 @@ def load_model(
     local HF cache / ``download_root``, or ``checkpoint`` may point directly
     at a local HF checkpoint directory. ``compute_type`` maps to the on-device
     dtype (bfloat16 is the TPU-native choice; "float16"/"float32" accepted).
+
+    ``mesh``: a ``jax.sharding.Mesh`` to run data/tensor-parallel over, or
+    "auto" — build a pure-DP mesh over all local accelerator devices when
+    more than one is present (None disables). Chunk batches are then sharded
+    on the "data" axis inside ``transcribe`` (the reference's multi-GPU story
+    is a host round-trip, whisperx/asr.py:78-80).
     """
+    import jax
     import jax.numpy as jnp
+
+    if mesh == "auto":
+        mesh = None
+        local = jax.local_devices()
+        if len(local) > 1 and local[0].platform != "cpu":
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(devices=local)
 
     from ..models.configs import get_whisper_config
 
@@ -441,11 +501,17 @@ def load_model(
         tokenizer=tokenizer,
         language=language,
         suppress_numerals=suppress_numerals,
+        mesh=mesh,
     )
 
 
 def load_test_pipeline(
-    *, language: Optional[str] = "en", seed: int = 0, beam_size: int = 1, config=None
+    *,
+    language: Optional[str] = "en",
+    seed: int = 0,
+    beam_size: int = 1,
+    config=None,
+    mesh: Any = None,
 ) -> WhisperPipeline:
     """Random-weight pipeline on the miniature config (tests/benchmarks)."""
     from ..models.configs import TEST_CONFIG
@@ -467,4 +533,5 @@ def load_test_pipeline(
         options=TranscriptionOptions(beam_size=beam_size, max_new_tokens=8),
         tokenizer=tokenizer,
         language=language,
+        mesh=mesh,
     )

@@ -162,6 +162,40 @@ class VadPipeline:
         )
 
 
+# SHA256 of the pinned pyannote segmentation checkpoint the reference
+# downloads and verifies (whisperx/vad.py:18,46-49 — the hash is the URL's
+# path component).
+VAD_SEGMENTATION_SHA256 = "0b5b3216d60a2d32fc086b47ea8c67589aaeb26b7e07fcbe620d6d0b83e209ea"
+
+
+def verify_checkpoint_sha256(path: str, expected: Optional[str]) -> str:
+    """SHA256-check a checkpoint file (reference vad.py:46-49 contract).
+
+    With ``expected`` set, a mismatch raises; otherwise the digest is
+    compared against the pinned reference checkpoint and a warning is issued
+    when it differs (custom checkpoints are allowed, but the user should know
+    they are off the pinned weights). Returns the hex digest.
+    """
+    import hashlib
+    import warnings
+
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if expected is not None:
+        if digest != expected:
+            raise RuntimeError(
+                f"VAD checkpoint SHA256 mismatch for {path}: got {digest}, "
+                f"expected {expected}. Re-fetch the checkpoint."
+            )
+    elif digest != VAD_SEGMENTATION_SHA256:
+        warnings.warn(
+            f"VAD checkpoint {path} does not match the pinned reference "
+            f"segmentation weights (sha256 {digest[:12]}…); proceeding with "
+            "custom weights."
+        )
+    return digest
+
+
 def load_vad_model(
     device=None,
     vad_onset: float = 0.500,
@@ -170,17 +204,24 @@ def load_vad_model(
     checkpoint: Optional[str] = None,
     use_auth_token=None,
     model_fp: Optional[str] = None,
+    expected_sha256: Optional[str] = None,
 ) -> VadPipeline:
     """Build the VAD pipeline (reference load_vad_model contract, vad.py:20-59).
 
     With ``checkpoint`` (or ``model_fp``) pointing at the pinned pyannote
-    segmentation weights, converts them into the JAX PyanNet and runs the
-    neural scorer; otherwise falls back to EnergyVAD (offline environments).
+    segmentation weights, SHA256-checks the file (strictly when
+    ``expected_sha256`` is given) and converts them into the JAX PyanNet for
+    the neural scorer; otherwise falls back to EnergyVAD (offline
+    environments).
     """
     path = checkpoint or model_fp
     if path:
+        import os
+
         from ..models.convert import load_pyannet_vad
 
+        if os.path.isfile(path):
+            verify_checkpoint_sha256(path, expected_sha256)
         model, params = load_pyannet_vad(path)
         scorer = NeuralVAD(model, params)
     else:
