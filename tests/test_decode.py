@@ -178,3 +178,23 @@ def test_int8_kv_beam_runs(engine_and_params):
         options=engine.build_options(beam_size=3, max_new_tokens=6, kv_cache_dtype="int8"),
     )
     assert out.tokens.shape == (2, 6)
+
+
+def test_engine_jit_cache_shared_across_instances(engine_and_params):
+    """A fresh engine with the same model + token layout must HIT the jit
+    cache (the pipeline builds a new engine per transcribe call; identity
+    hashing would recompile — minutes each through a TPU relay)."""
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+
+    engine, params = engine_and_params
+    mel = _mel(2)
+    opts = engine.build_options(beam_size=2, max_new_tokens=4)
+    engine.generate(params, mel, options=opts)
+    size_before = WhisperEngine.decode_beam._cache_size()
+
+    fresh_tok = WhisperTokenizer.dummy(engine.config.n_vocab, language="en")
+    fresh = WhisperEngine(engine.model, fresh_tok)
+    assert fresh == engine and hash(fresh) == hash(engine)
+    fresh.generate(params, mel, options=opts)
+    assert WhisperEngine.decode_beam._cache_size() == size_before

@@ -43,6 +43,23 @@ class WhisperEngine:
         self.tokenizer = tokenizer
         self.config = model.config
 
+    # The jitted methods take `self` as a static argument; identity-based
+    # hashing would retrace (minutes per signature through a TPU relay) for
+    # every new engine instance — and the pipeline builds one per transcribe
+    # call. Trace output depends only on the model (frozen flax dataclass)
+    # and the tokenizer's token *layout* (the text backend is host-only), so
+    # equality is defined on exactly that pair (tests/test_decode.py pins the
+    # cache-hit behavior).
+    def __hash__(self):
+        return hash((self.model, self.tokenizer.layout))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, WhisperEngine)
+            and self.model == other.model
+            and self.tokenizer.layout == other.tokenizer.layout
+        )
+
     # ---- building blocks ---------------------------------------------------
 
     def _encode(self, params, mel):
