@@ -251,3 +251,23 @@ def test_align_char_alignments_and_sentence_merge():
     assert [w["word"] for w in words] == ["hello", "world.", "more", "text."]
     starts = [w["start"] for w in words if "start" in w]
     assert starts == sorted(starts)
+
+
+def test_align_fused_device_matches_host_backtrack(monkeypatch):
+    """The fused emissions+trellis+backtrack jit must reproduce the two-stage
+    host-backtrack path exactly (same words, same timestamps)."""
+    text = " hello world again"
+    tokens = [DICT[c] for c in "hello|world|again"]
+    segs = [{"start": 0.0, "end": 2.0, "text": text}]
+    audio = np.zeros(2 * SR, np.float32)
+
+    def run():
+        model = AlignModel(RiggedW2V([tokens]), {}, DICT, "en", blank_id=0)
+        return align([dict(s) for s in segs], model, _metadata(), audio)
+
+    monkeypatch.setenv("WHISPERX_CTC_BACKTRACK", "host")
+    host = run()
+    monkeypatch.delenv("WHISPERX_CTC_BACKTRACK")
+    fused = run()
+    assert host["word_segments"] == fused["word_segments"]
+    assert [s["text"] for s in host["segments"]] == [s["text"] for s in fused["segments"]]

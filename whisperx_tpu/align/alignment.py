@@ -14,6 +14,7 @@ batch run as single device programs; only the O(T) backtrack walks on host.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Iterable, List, Optional, Union
 
@@ -23,7 +24,7 @@ from ..audio.constants import SAMPLE_RATE
 from ..io.languages import LANGUAGES_WITHOUT_SPACES
 from ..io.types import AlignedTranscriptionResult, SingleAlignedSegment, SingleSegment
 from ..models.configs import WAV2VEC2_BASE, WAV2VEC2_LARGE, WAV2VEC2_TEST
-from ..ops.ctc import align_tokens_batch, merge_repeats
+from ..ops.ctc import PathPoint, align_tokens_batch, merge_repeats
 from ..utils import interpolate_nans
 from .registry import (
     DEFAULT_ALIGN_MODELS_HF,
@@ -161,6 +162,37 @@ def _emission_fwd(model):
     return fwd
 
 
+_FUSED_ALIGN_CACHE: dict = {}
+
+
+def _fused_align_fwd(model, blank: int, backend: str):
+    """One jit: waveforms → wav2vec2 emissions → CTC trellis → device
+    backtrack. Only the small path arrays ((B, T') ints/floats) ever reach
+    the host — the (B, T', V) emissions stay in HBM, which removes a
+    device→host→device round trip per batch (expensive through a TPU relay).
+    Cached per (module, blank, backend) like _emission_fwd."""
+    import jax
+
+    from ..ops.ctc import ctc_align_batch_device
+
+    key = (model, blank, backend)
+    fwd = _FUSED_ALIGN_CACHE.get(key)
+    if fwd is None:
+
+        @jax.jit
+        def fwd(params, wavs, sample_lens, tokens, n_len):
+            logits = model.apply({"params": params}, wavs, sample_lengths=sample_lens)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            t_len = model.feature_lengths(sample_lens)
+            out = ctc_align_batch_device(
+                logp, tokens, t_len, n_len, blank=blank, backend=backend
+            )
+            return (*out, t_len)
+
+        _FUSED_ALIGN_CACHE[key] = fwd
+    return fwd
+
+
 def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
     """Run wav2vec2 over length-sorted padded batches → per-segment
     (log_probs (T', V), T') on host."""
@@ -256,12 +288,9 @@ def align(
 
     paths_by_sdx = {}
     frames_by_sdx = {}
-    if alignable:
+    if alignable and os.environ.get("WHISPERX_CTC_BACKTRACK", "device") == "host":
+        # Two-stage escape hatch: emissions to host, numpy reference walk.
         emissions = _batched_emissions(model, slices)
-        # Trellis in sub-batches of uniform padded shape. T pads to the
-        # largest emission *buffer* in the group (already 1 s-bucketed by
-        # _batched_emissions), not the true max frame count — arbitrary true
-        # lengths would mint a fresh compile signature per align() call.
         B = model.max_batch
         for i in range(0, len(alignable), B):
             idx = list(range(i, min(i + B, len(alignable))))
@@ -272,8 +301,6 @@ def align(
                     for j in idx
                 ]
             )
-            # Fixed batch rows: pad the last partial group to max_batch so it
-            # reuses the full group's compile signature.
             n_real = len(idx)
             if n_real < B:
                 logp = np.pad(logp, ((0, B - n_real), (0, 0), (0, 0)))
@@ -288,6 +315,69 @@ def align(
             for row, j in enumerate(idx):
                 paths_by_sdx[alignable[j]] = paths[row]
                 frames_by_sdx[alignable[j]] = emissions[j][1]
+    elif alignable:
+        # Fused device path: audio → emissions → trellis → backtrack in ONE
+        # jit per (batch, bucket, token) signature, with one batch kept in
+        # flight so host path-decoding overlaps device compute — the same
+        # async pattern as the transcribe loop. The reference aligns
+        # segment-by-segment on CPU (its TODO at alignment.py:215).
+        import jax.numpy as jnp
+
+        backend = os.environ.get("WHISPERX_CTC_BACKEND", "scan")
+        fwd = _fused_align_fwd(model.model, model.blank_id, backend)
+        B = model.max_batch
+        order = sorted(range(len(alignable)), key=lambda k: len(slices[k]))
+
+        def bucket_len(n: int) -> int:
+            # Pad to the next multiple of 1 s (bounds distinct compile shapes).
+            return max(16000, -(-n // 16000) * 16000)
+
+        def consume(pending):
+            idx, out = pending
+            tok_idx, probs, active, success, t_start, t_len = (np.asarray(a) for a in out)
+            T = tok_idx.shape[1]
+            times = T - 1 - np.arange(T)
+            for row, k in enumerate(idx):
+                sdx = alignable[k]
+                frames_by_sdx[sdx] = int(t_len[row])
+                if not success[row]:
+                    paths_by_sdx[sdx] = None
+                    continue
+                ks = np.nonzero(active[row])[0]
+                paths_by_sdx[sdx] = [
+                    PathPoint(int(tok_idx[row, x]), int(times[x]), float(probs[row, x]))
+                    for x in ks
+                ][::-1]
+
+        in_flight = None
+        for i in range(0, len(order), B):
+            idx = order[i : i + B]
+            max_len = bucket_len(max(len(slices[k]) for k in idx))
+            N_true = max(len(token_lists[k]) for k in idx)
+            N = max(64, -(-N_true // 64) * 64)
+            wavs = np.zeros((B, max_len), np.float32)
+            lens = np.zeros((B,), np.int32)
+            tokens = np.zeros((B, N), np.int32)
+            n_len = np.ones((B,), np.int32)  # padding rows: 1 dummy token
+            tokens[:, 0] = model.blank_id or 1
+            for row, k in enumerate(idx):
+                wavs[row, : len(slices[k])] = slices[k]
+                lens[row] = len(slices[k])
+                tokens[row, : len(token_lists[k])] = token_lists[k]
+                n_len[row] = len(token_lists[k])
+            lens = np.maximum(lens, 400)  # avoid zero-length conv edge on pad rows
+            out = fwd(
+                model.params,
+                jnp.asarray(wavs),
+                jnp.asarray(lens),
+                jnp.asarray(tokens),
+                jnp.asarray(n_len),
+            )
+            if in_flight is not None:
+                consume(in_flight)
+            in_flight = (idx, out)
+        if in_flight is not None:
+            consume(in_flight)
 
     # ---- pass 3: char → word → sentence aggregation ------------------------
     aligned_segments: List[SingleAlignedSegment] = []
