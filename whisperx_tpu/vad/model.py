@@ -101,7 +101,17 @@ class NeuralVAD:
 
 
 class EnergyVAD:
-    """Band-limited RMS-energy scores on the PyanNet frame grid (fallback)."""
+    """Band-limited RMS-energy scores on the PyanNet frame grid (fallback).
+
+    Score-scale note: percentile normalization maps the 10th..95th
+    log-RMS percentile into [0, 1] *per file* — these scores are NOT on the
+    pyannote posterior scale, so the reference's tuned onset=0.5/offset=0.363
+    (whisperx/vad.py:52-55) are merely reasonable mid-range cuts here, not
+    calibrated values. The adaptive normalization is what makes them
+    workable: 0.5 always sits between the file's noise floor and speech
+    ceiling. For threshold-faithful behavior use the neural scorer with the
+    pinned converted checkpoint.
+    """
 
     def __init__(self, *, smooth_frames: int = 9):
         self.smooth_frames = smooth_frames
