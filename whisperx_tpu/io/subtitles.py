@@ -6,12 +6,20 @@ reference version is dead code due to a broken absolute import at its line
 2). Splits aligned segments into readable subtitle fragments at length
 limits, language-specific commas, and conjunctions; estimates timestamps for
 unaligned words at 0.25 s/char; writes srt or vtt.
+
+Implementation note: the reference computes a list of split indices in one
+pass and regenerates fragments in a second; here a single forward walk
+(:class:`_FragmentScan`) heals timestamps, applies the three split rules
+(length-overflow midpoint, trailing comma, leading conjunction) and emits
+fragments as it goes. The split decisions and all constants are kept
+behavior-identical — they ARE the output contract.
 """
 
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import List, Optional, Union
 
 from .conjunctions import get_comma, get_conjunctions
 
@@ -19,10 +27,11 @@ COMPLEX_SCRIPT_LANGUAGES = (
     "th", "lo", "my", "km", "am", "ko", "ja", "zh", "ti", "ta", "te",
     "kn", "ml", "hi", "ne", "mr", "ar", "fa", "ur", "ka",
 )
+NO_SPACE_LANGUAGES = ("zh", "ja")
+SECONDS_PER_CHAR = 0.25  # fallback speaking-rate estimate
+END_SNAP_GAP = 0.8  # snap a fragment's end to the next start within this gap
 
-
-def normal_round(n: float) -> int:
-    return math.floor(n) if n - math.floor(n) < 0.5 else math.ceil(n)
+Word = Union[dict, str]
 
 
 def format_timestamp(seconds: float, is_vtt: bool = False) -> str:
@@ -33,6 +42,107 @@ def format_timestamp(seconds: float, is_vtt: bool = False) -> str:
     secs, ms = divmod(ms, 1_000)
     sep = "." if is_vtt else ","
     return f"{hours:02d}:{minutes:02d}:{secs:02d}{sep}{ms:03d}"
+
+
+def _text_of(word: Word) -> str:
+    return word["word"] if isinstance(word, dict) else word
+
+
+def _heal_word_times(words: List[Word], i: int, next_segment_start: Optional[float]) -> None:
+    """Fill a word's missing start/end from its neighbors, else estimate.
+
+    Priority: previous word's end → next word's start → the following
+    segment's start (backing off 0.5 s when the gap exceeds 1 s) →
+    SECONDS_PER_CHAR per character → zero.
+    """
+    word = words[i]
+    prev_end = words[i - 1].get("end") if i > 0 and isinstance(words[i - 1], dict) else None
+    next_start = (
+        words[i + 1].get("start")
+        if i < len(words) - 1 and isinstance(words[i + 1], dict)
+        else None
+    )
+
+    if prev_end is not None:
+        word["start"] = prev_end
+        if next_start is not None:
+            word["end"] = next_start
+        elif next_segment_start:
+            close = next_segment_start - prev_end <= 1
+            word["end"] = next_segment_start if close else next_segment_start - 0.5
+        else:
+            word["end"] = word["start"] + len(word["word"]) * SECONDS_PER_CHAR
+    elif next_start is not None:
+        word["start"] = next_start - len(word["word"]) * SECONDS_PER_CHAR
+        word["end"] = next_start
+    elif next_segment_start:
+        word["start"] = next_segment_start - 1
+        word["end"] = next_segment_start - 0.5
+    else:
+        word["start"] = 0
+        word["end"] = 0
+
+
+@dataclass
+class _FragmentScan:
+    """Single forward walk over a segment's words, emitting cut indices at
+    the three split triggers.
+
+    State mirrors the reference's counters exactly, including its
+    *inconsistent* length accounting (the output contract): the incremental
+    counter charges every word text + joiner, while the lookahead total and
+    the post-overflow recompute charge timed (dict) words their text only.
+    Overflow splits cut at the midpoint between the last split and the
+    overflowing word — a retroactive cut; words after the midpoint stay
+    pending.
+    """
+
+    words: List[Word]
+    step_len: List[int]  # incremental cost: text + joiner, every word
+    raw_len: List[int]  # total/recompute cost: dict words pay text only
+    max_line: int
+    min_split: int
+    comma: str
+    conjunctions: frozenset
+    line_start: int = 0  # reference's last_split_point
+    line_chars: int = 0
+    cuts: List[int] = field(default_factory=list)  # inclusive fragment ends
+
+    def _cut(self, index: int) -> None:
+        self.cuts.append(index)
+
+    def walk(self) -> List[int]:
+        remaining = sum(self.raw_len)
+        for i, word in enumerate(self.words):
+            wl = self.step_len[i]
+            remaining -= wl
+            before = self.line_chars  # chars on the line before this word
+            self.line_chars += wl
+
+            text = _text_of(word)
+            if self.line_chars >= self.max_line:
+                if before >= self.min_split:
+                    mid = math.floor((self.line_start + i) / 2 + 0.5)
+                    self._cut(mid)
+                    self.line_start = mid + 1
+                    self.line_chars = sum(self.raw_len[self.line_start : i + 1])
+            elif (
+                text.endswith(self.comma)
+                and before >= self.min_split
+                and remaining >= self.min_split
+            ):
+                self._cut(i)
+                self.line_start = i + 1
+                self.line_chars = 0
+            elif (
+                text.lower() in self.conjunctions
+                and before >= self.min_split
+                and remaining >= self.min_split
+            ):
+                self._cut(i - 1)  # the conjunction starts the next fragment
+                self.line_start = i
+                self.line_chars = wl
+        return self.cuts
 
 
 class SubtitlesProcessor:
@@ -47,160 +157,83 @@ class SubtitlesProcessor:
         self.segments = segments
         self.lang = lang
         self.comma = get_comma(lang)
-        self.conjunctions = set(get_conjunctions(lang))
+        self.conjunctions = frozenset(get_conjunctions(lang))
         self.is_vtt = is_vtt
         if lang in COMPLEX_SCRIPT_LANGUAGES:
             max_line_length, min_char_length_splitter = 30, 20
         self.max_line_length = max_line_length
         self.min_char_length_splitter = min_char_length_splitter
+        self.joiner = "" if lang in NO_SPACE_LANGUAGES else " "
 
-    # -- timestamp healing ----------------------------------------------------
-
+    # Kept as a method for API compatibility with the reference class.
     def estimate_timestamp_for_word(self, words, i, next_segment_start_time=None):
-        """Fill missing word times from neighbors, else 0.25 s per char."""
-        k = 0.25
-        has_prev_end = i > 0 and "end" in words[i - 1]
-        has_next_start = i < len(words) - 1 and "start" in words[i + 1]
+        _heal_word_times(words, i, next_segment_start_time)
 
-        if has_prev_end:
-            words[i]["start"] = words[i - 1]["end"]
-            if has_next_start:
-                words[i]["end"] = words[i + 1]["start"]
-            elif next_segment_start_time:
-                gap_ok = next_segment_start_time - words[i - 1]["end"] <= 1
-                words[i]["end"] = (
-                    next_segment_start_time if gap_ok else next_segment_start_time - 0.5
-                )
-            else:
-                words[i]["end"] = words[i]["start"] + len(words[i]["word"]) * k
-        elif has_next_start:
-            words[i]["start"] = words[i + 1]["start"] - len(words[i]["word"]) * k
-            words[i]["end"] = words[i + 1]["start"]
-        elif next_segment_start_time:
-            words[i]["start"] = next_segment_start_time - 1
-            words[i]["end"] = next_segment_start_time - 0.5
-        else:
-            words[i]["start"] = 0
-            words[i]["end"] = 0
+    def _segment_fragments(self, segment: dict, next_segment_start) -> List[dict]:
+        words: List[Word] = segment.get("words", segment["text"].split())
+        space = 0 if self.lang in NO_SPACE_LANGUAGES else 1
+        step_len = [len(_text_of(w)) + space for w in words]
+        raw_len = [
+            len(_text_of(w)) + (0 if isinstance(w, dict) else space) for w in words
+        ]
 
-    # -- splitting --------------------------------------------------------------
+        for i, w in enumerate(words):
+            if isinstance(w, dict) and ("start" not in w or "end" not in w):
+                _heal_word_times(words, i, next_segment_start)
 
-    def _word_text(self, word) -> str:
-        return word["word"] if isinstance(word, dict) else word
+        cuts = _FragmentScan(
+            words,
+            step_len,
+            raw_len,
+            self.max_line_length,
+            self.min_char_length_splitter,
+            self.comma,
+            self.conjunctions,
+        ).walk()
 
-    def determine_advanced_split_points(self, segment, next_segment_start_time=None) -> List[int]:
-        split_points: List[int] = []
-        last_split_point = 0
-        char_count = 0
-        words = segment.get("words", segment["text"].split())
-        add_space = 0 if self.lang in ("zh", "ja") else 1
-
-        def wlen(w):
-            return len(self._word_text(w)) + (0 if isinstance(w, dict) else add_space)
-
-        total = sum(
-            len(w["word"]) if isinstance(w, dict) else len(w) + add_space for w in words
-        )
-        char_count_after = total
-
-        for i, word in enumerate(words):
-            text = self._word_text(word)
-            word_length = len(text) + add_space
-            char_count += word_length
-            char_count_after -= word_length
-            char_count_before = char_count - word_length
-
-            if isinstance(word, dict) and ("start" not in word or "end" not in word):
-                self.estimate_timestamp_for_word(words, i, next_segment_start_time)
-
-            if char_count >= self.max_line_length:
-                midpoint = normal_round((last_split_point + i) / 2)
-                if char_count_before >= self.min_char_length_splitter:
-                    split_points.append(midpoint)
-                    last_split_point = midpoint + 1
-                    char_count = sum(
-                        len(words[j]["word"]) if isinstance(words[j], dict) else len(words[j]) + add_space
-                        for j in range(last_split_point, i + 1)
-                    )
-            elif (
-                text.endswith(self.comma)
-                and char_count_before >= self.min_char_length_splitter
-                and char_count_after >= self.min_char_length_splitter
-            ):
-                split_points.append(i)
-                last_split_point = i + 1
-                char_count = 0
-            elif (
-                text.lower() in self.conjunctions
-                and char_count_before >= self.min_char_length_splitter
-                and char_count_after >= self.min_char_length_splitter
-            ):
-                split_points.append(i - 1)
-                last_split_point = i
-                char_count = word_length
-        return split_points
-
-    def generate_subtitles_from_split_points(
-        self, segment, split_points: List[int], next_start_time=None
-    ) -> List[dict]:
-        subtitles = []
-        words = segment.get("words", segment["text"].split())
-        total_words = len(words)
-        total_time = segment["end"] - segment["start"]
+        # Materialize fragments between cuts; the tail fragment snaps its end
+        # to the next segment's start when the gap is small.
+        fragments = []
         elapsed = segment["start"]
-        prefix = "" if self.lang in ("zh", "ja") else " "
-
-        def emit(fragment_words, end_lookahead: Optional[float]):
-            nonlocal elapsed
-            if isinstance(fragment_words[0], dict):
-                start_time = fragment_words[0]["start"]
-                end_time = fragment_words[-1]["end"]
-                if end_lookahead is not None and (end_lookahead - end_time) <= 0.8:
-                    end_time = end_lookahead
-                text = prefix.join(w["word"] for w in fragment_words)
-            else:
-                duration = (len(fragment_words) / total_words) * total_time
-                start_time = elapsed
-                end_time = elapsed + duration
-                elapsed += duration
-                text = prefix.join(fragment_words).strip()
-            subtitles.append(
-                {"start": start_time, "end": end_time if end_time is not None else segment["end"], "text": text}
-            )
-
-        start_idx = 0
-        for sp in split_points:
-            frag = words[start_idx : sp + 1]
-            if not frag:
-                start_idx = sp + 1
+        total_time = segment["end"] - segment["start"]
+        lo = 0
+        for hi in cuts + [len(words) - 1]:
+            if hi < lo:
+                lo = hi + 1
                 continue
-            lookahead = None
-            if isinstance(frag[0], dict) and sp + 1 < len(words):
-                nxt = words[sp + 1]
-                lookahead = nxt.get("start") if isinstance(nxt, dict) else None
-            emit(frag, lookahead)
-            start_idx = sp + 1
-
-        if start_idx < len(words):
-            emit(words[start_idx:], next_start_time)
-        return subtitles
-
-    # -- driver --------------------------------------------------------------
+            frag = words[lo : hi + 1]
+            if isinstance(frag[0], dict):
+                start = frag[0]["start"]
+                end = frag[-1]["end"]
+                if hi + 1 < len(words) and isinstance(words[hi + 1], dict):
+                    upcoming = words[hi + 1].get("start")
+                else:
+                    upcoming = next_segment_start if hi == len(words) - 1 else None
+                if upcoming is not None and (upcoming - end) <= END_SNAP_GAP:
+                    end = upcoming
+                text = self.joiner.join(w["word"] for w in frag)
+            else:
+                duration = (len(frag) / len(words)) * total_time
+                start, end = elapsed, elapsed + duration
+                elapsed += duration
+                text = self.joiner.join(frag).strip()
+            fragments.append(
+                {"start": start, "end": end if end is not None else segment["end"], "text": text}
+            )
+            lo = hi + 1
+        return fragments
 
     def process_segments(self, advanced_splitting: bool = True) -> List[dict]:
         subtitles = []
         for i, segment in enumerate(self.segments):
             next_start = self.segments[i + 1]["start"] if i + 1 < len(self.segments) else None
             if advanced_splitting:
-                points = self.determine_advanced_split_points(segment, next_start)
-                subtitles.extend(
-                    self.generate_subtitles_from_split_points(segment, points, next_start)
-                )
+                subtitles.extend(self._segment_fragments(segment, next_start))
             else:
                 words = segment.get("words", [])
                 for j, word in enumerate(words):
                     if "start" not in word or "end" not in word:
-                        self.estimate_timestamp_for_word(words, j, next_start)
+                        _heal_word_times(words, j, next_start)
                 subtitles.append(
                     {"start": segment["start"], "end": segment["end"], "text": segment["text"]}
                 )
