@@ -16,10 +16,16 @@ import sys
 import time
 
 CONFIGS = {
+    # decode-only knobs (BENCH_ALIGN=0 is applied to all of these)
     "base": {},
     "approx-topk": {"WHISPERX_TOPK": "approx"},
     "int8-mm-pallas": {"WHISPERX_INT8_MM": "pallas"},
     "fused-qkv": {"BENCH_FUSED_QKV": "1"},
+    "batch16": {"BENCH_BATCH": "16"},
+    # align-path knobs (override BENCH_ALIGN back on)
+    "align-base": {"BENCH_ALIGN": "1"},
+    "align-ctc-pallas": {"BENCH_ALIGN": "1", "WHISPERX_CTC_BACKEND": "pallas"},
+    "align-attn-flash": {"BENCH_ALIGN": "1", "WHISPERX_ATTN": "flash"},
 }
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AB_RESULTS.json")
