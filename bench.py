@@ -52,7 +52,7 @@ def build_bench_engine():
         "iters": int(os.environ.get("BENCH_ITERS", "3")),
         "kv": os.environ.get("BENCH_KV", "int8"),
         "quant": os.environ.get("BENCH_QUANT", "int8"),
-        "fused_qkv": os.environ.get("BENCH_FUSED_QKV", "") == "1",
+        "fused_qkv": os.environ.get("BENCH_FUSED_QKV", "1") == "1",
     }
     if knobs["quant"] in ("none", "bf16"):
         knobs["quant"] = ""

@@ -22,6 +22,17 @@ CONFIGS = {
     "int8-mm-pallas": {"WHISPERX_INT8_MM": "pallas"},
     "fused-qkv": {"BENCH_FUSED_QKV": "1"},
     "batch16": {"BENCH_BATCH": "16"},
+    "combo": {
+        "WHISPERX_TOPK": "approx",
+        "WHISPERX_INT8_MM": "pallas",
+        "BENCH_FUSED_QKV": "1",
+    },
+    "combo-batch16": {
+        "WHISPERX_TOPK": "approx",
+        "WHISPERX_INT8_MM": "pallas",
+        "BENCH_FUSED_QKV": "1",
+        "BENCH_BATCH": "16",
+    },
     # align-path knobs (override BENCH_ALIGN back on)
     "align-base": {"BENCH_ALIGN": "1"},
     "align-ctc-pallas": {"BENCH_ALIGN": "1", "WHISPERX_CTC_BACKEND": "pallas"},
@@ -35,7 +46,7 @@ def main():
     names = sys.argv[1:] or list(CONFIGS)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name in names:
-        env = dict(os.environ, BENCH_ALIGN="0", **CONFIGS[name])
+        env = {**os.environ, "BENCH_ALIGN": "0", **CONFIGS[name]}
         t0 = time.time()
         proc = subprocess.run(
             [sys.executable, "bench.py"], cwd=root, env=env,

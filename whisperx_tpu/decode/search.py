@@ -101,7 +101,12 @@ def _resolve_topk(opts: SearchOptions) -> Callable:
 
     impl = opts.topk
     if impl == "auto":
-        impl = os.environ.get("WHISPERX_TOPK", "") or "exact"
+        impl = os.environ.get("WHISPERX_TOPK", "")
+        if not impl:
+            # On-chip A/B winner (benchmarks/AB_RESULTS.json r2: 132.9x vs
+            # 130.3x): approx_max_k lowers to the TPU PartialReduce op with
+            # exact values at recall_target=1.0. CPU keeps the plain top_k.
+            impl = "approx" if jax.default_backend() == "tpu" else "exact"
     if impl not in ("exact", "approx"):
         raise ValueError(f"unknown top-k impl {impl!r}: expected exact|approx|auto")
     if impl == "approx":

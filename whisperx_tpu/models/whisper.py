@@ -84,11 +84,28 @@ def flat_cross_kv(k: Array, v: Array, kv_int8: bool) -> FlatCrossKV:
 
 def _use_pallas_int8(x: Array, features: int) -> bool:
     """Route small-row int8 projections through the Pallas dequant-matmul
-    kernel when WHISPERX_INT8_MM=pallas (A/B knob; see ops/pallas_int8_mm)."""
+    kernel (ops/pallas_int8_mm).
+
+    Default ON for single-device TPU decode — the on-chip A/B (large-v2
+    beam-5, benchmarks/AB_RESULTS.json r2) measured 134.1x vs 130.3x for the
+    XLA dequant path. Forced via WHISPERX_INT8_MM=pallas|xla. Falls back to
+    XLA on CPU (interpret mode is for tests only) and under multi-device
+    meshes (pjit cannot partition a bare pallas_call).
+    """
     import os
 
-    if os.environ.get("WHISPERX_INT8_MM", "") != "pallas":
+    env = os.environ.get("WHISPERX_INT8_MM", "")
+    if env == "xla":
         return False
+    if env != "pallas":
+        if jax.default_backend() != "tpu":
+            return False
+        try:
+            mesh = jax.sharding.get_abstract_mesh()
+            if mesh is not None and not mesh.empty and mesh.size > 1:
+                return False
+        except Exception:
+            pass
     from ..ops.pallas_int8_mm import MAX_ROWS
 
     rows = 1

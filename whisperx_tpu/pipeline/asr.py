@@ -462,6 +462,20 @@ def load_model(
         from ..models.whisper import quantize_whisper
 
         whisper_model, params = quantize_whisper(whisper_model, params)
+
+    # Fuse q/k/v into one projection for the per-token decode path (on-chip
+    # A/B winner, benchmarks/AB_RESULTS.json r2: 135.6x vs 130.3x). Skipped
+    # under tensor-parallel meshes (partition rules target the unfused
+    # layout); opt out with WHISPERX_FUSED_QKV=0.
+    import os
+
+    tp_size = 1
+    if mesh is not None:
+        tp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    if os.environ.get("WHISPERX_FUSED_QKV", "1") != "0" and tp_size == 1:
+        from ..models.whisper import fuse_whisper_qkv
+
+        whisper_model, params = fuse_whisper_qkv(whisper_model, params)
     tokenizer_backend = WhisperTokenizer.from_pretrained(path, language=language, task=task)
     engine = WhisperEngine(whisper_model, tokenizer_backend)
 
