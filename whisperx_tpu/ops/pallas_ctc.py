@@ -28,24 +28,29 @@ NEG_INF = float(np.finfo(np.float32).min)
 def _trellis_kernel(blank_ref, tok_ref, col0_ref, out_ref):
     """One segment: recurrence over T with the row resident in VMEM.
 
-    blank_ref: (1, T) blank log-probs
+    blank_ref: (1, 1, T) blank log-probs
     tok_ref:   (1, T, N) per-token log-probs
-    col0_ref:  (1, T+1) precomputed column 0 (cumsum/+inf tail)
+    col0_ref:  (1, 1, T+1) precomputed column 0 (cumsum/+inf tail)
     out_ref:   (1, T+1, N+1) trellis
+
+    The (1, 1, ·) shapes exist for the TPU lowering rule that a block's last
+    two dims must divide (8, 128) or equal the array dims — a (1, T) block of
+    a (B, T) array has second-to-last dim 1 vs 8; with the explicit singleton
+    axis both trailing dims equal the array's.
     """
-    T = blank_ref.shape[1]
+    T = blank_ref.shape[2]
     N = tok_ref.shape[2]
 
     row0 = jnp.concatenate(
-        [col0_ref[:, 0:1], jnp.full((1, N), NEG_INF, jnp.float32)], axis=1
+        [col0_ref[0, :, 0:1], jnp.full((1, N), NEG_INF, jnp.float32)], axis=1
     )  # (1, N+1)
     out_ref[0, 0:1, :] = row0
 
     def body(t, row):
-        stay = row[:, 1:] + blank_ref[0, t]
+        stay = row[:, 1:] + blank_ref[0, 0, t]
         advance = row[:, :-1] + tok_ref[0, t, :][None, :]
         tail = jnp.maximum(stay, advance)
-        new_row = jnp.concatenate([col0_ref[:, pl.ds(t + 1, 1)], tail], axis=1)
+        new_row = jnp.concatenate([col0_ref[0, :, pl.ds(t + 1, 1)], tail], axis=1)
         out_ref[0, pl.ds(t + 1, 1), :] = new_row
         return new_row
 
@@ -79,11 +84,15 @@ def ctc_trellis_pallas(
         out_shape=jax.ShapeDtypeStruct((B, T + 1, N + 1), jnp.float32),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, T), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T + 1), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T + 1, N + 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(blank_em.astype(jnp.float32), tok_em.astype(jnp.float32), col0.astype(jnp.float32))
+    )(
+        blank_em[:, None, :].astype(jnp.float32),
+        tok_em.astype(jnp.float32),
+        col0[:, None, :].astype(jnp.float32),
+    )
     return out
