@@ -35,7 +35,6 @@ CONFIGS = {
     },
     # align-path knobs (override BENCH_ALIGN back on)
     "align-base": {"BENCH_ALIGN": "1"},
-    "align-ctc-pallas": {"BENCH_ALIGN": "1", "WHISPERX_CTC_BACKEND": "pallas"},
     "align-attn-flash": {"BENCH_ALIGN": "1", "WHISPERX_ATTN": "flash"},
 }
 

@@ -7,7 +7,7 @@ Times, on the available accelerator, for the bench.py align configuration
   ctc      — trellis + device backtrack from precomputed emissions
   fused    — the production one-jit path (w2v + ctc, emissions stay in HBM)
 
-Prints one JSON object. Knobs: ALIGN_BATCH, ALIGN_TOKENS, WHISPERX_CTC_BACKEND.
+Prints one JSON object. Knobs: ALIGN_BATCH, ALIGN_TOKENS.
 """
 
 import json

@@ -137,34 +137,6 @@ def test_merge_words():
     assert abs(words[0].score - (0.9 * 2 + 0.8 * 1) / 3) < 1e-6
 
 
-def test_pallas_trellis_matches_scan(rng):
-    """Pallas trellis backend == lax.scan backend (interpret mode)."""
-    import jax.numpy as jnp
-
-    from whisperx_tpu.ops.pallas_ctc import ctc_trellis_pallas
-
-    B, T, V, N = 2, 24, 8, 5
-    ems = np.stack([_rand_emission(rng, T, V) for _ in range(B)])
-    toks = rng.integers(1, V, (B, N)).astype(np.int32)
-    t_len = np.array([T, T - 6], np.int32)
-    n_len = np.array([N, N - 2], np.int32)
-
-    ref = np.asarray(
-        ctc_trellis_batch(
-            jnp.asarray(ems), jnp.asarray(toks), jnp.asarray(t_len), jnp.asarray(n_len)
-        )
-    )
-    got = np.asarray(
-        ctc_trellis_pallas(
-            jnp.asarray(ems), jnp.asarray(toks), jnp.asarray(t_len), jnp.asarray(n_len),
-            interpret=True,
-        )
-    )
-    finite = np.isfinite(ref)
-    np.testing.assert_allclose(got[finite], ref[finite], atol=1e-4)
-    np.testing.assert_array_equal(np.isposinf(got), np.isposinf(ref))
-
-
 def test_device_backtrack_matches_host():
     """Fused device trellis+backtrack == host numpy walk (paths and scores),
     including the failure (None) contract."""

@@ -200,15 +200,13 @@ def ctc_align_batch_device(
     here the walk is a vmapped ``lax.scan`` and only (B, T) path arrays come
     back. Returns (token_idx, probs, active, success, t_start).
     """
-    if backend == "pallas":
-        from .pallas_ctc import ctc_trellis_pallas
-
-        trellis = ctc_trellis_pallas(
-            log_probs, tokens, t_len, n_len, blank=blank,
-            interpret=jax.default_backend() != "tpu",
-        )
-    else:
-        trellis = ctc_trellis_batch(log_probs, tokens, t_len, n_len, blank=blank)
+    # backend kept for API stability; "scan" is the only implementation. A
+    # VMEM-resident Pallas trellis kernel was built and A/B'd in r2 but
+    # failed Mosaic lowering at production shapes (dynamic lane-dim indexing
+    # at T=1499) and the scan trellis is ~0.7% of the end-to-end budget —
+    # deleted rather than shipped broken (benchmarks/AB_RESULTS.json).
+    del backend
+    trellis = ctc_trellis_batch(log_probs, tokens, t_len, n_len, blank=blank)
 
     blank_em = log_probs[:, :, blank]
     tok_em = jnp.take_along_axis(log_probs, tokens[:, None, :], axis=2)
@@ -237,9 +235,9 @@ def align_tokens_batch(
 ):
     """Batched trellis + backtrack for a padded batch of segments.
 
-    ``backend`` selects the trellis implementation: "scan" (lax.scan, any
-    platform) or "pallas" (the VMEM-resident TPU kernel in ops/pallas_ctc);
-    defaults to $WHISPERX_CTC_BACKEND or "scan". ``backtrack_impl`` is
+    ``backend`` is accepted for API stability but "scan" (lax.scan, any
+    platform) is the only trellis implementation — see the note in
+    :func:`ctc_align_batch_device`. ``backtrack_impl`` is
     "device" (fused jit walk, default) or "host" (numpy reference walk,
     $WHISPERX_CTC_BACKTRACK). Returns a list (one per segment) of path lists
     (or None on failure).
@@ -286,18 +284,8 @@ def align_tokens_batch(
             )
         return out
 
-    if backend == "pallas":
-        from .pallas_ctc import ctc_trellis_pallas
-
-        trellis_fn = functools.partial(
-            ctc_trellis_pallas,
-            interpret=jax.default_backend() != "tpu",
-        )
-    else:
-        trellis_fn = ctc_trellis_batch
-
     trellis = np.asarray(
-        trellis_fn(
+        ctc_trellis_batch(
             jnp.asarray(log_probs), jnp.asarray(tokens), jnp.asarray(t_lens, dtype=jnp.int32),
             jnp.asarray(n_len), blank=blank,
         )
