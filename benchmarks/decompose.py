@@ -24,13 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, *args, iters=3):
+    # Through the axon relay block_until_ready does not reliably wait; a
+    # device->host fetch of one element is the only dependable sync.
     import jax
 
-    jax.block_until_ready(fn(*args))  # compile + warm, fully drained
+    def sync(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+
+    sync(fn(*args))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        sync(out)
     return (time.perf_counter() - t0) / iters
 
 

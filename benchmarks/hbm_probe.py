@@ -30,26 +30,33 @@ def main():
     x8 = jnp.ones((size,), jnp.int8)
     x16 = jnp.ones((size // 4,), jnp.bfloat16)  # size/2 bytes
 
+    # NOTE: through the axon relay, block_until_ready does not reliably wait
+    # for execution — only a device→host transfer forces a full sync. Every
+    # timed iteration therefore fetches a scalar, and the relay round-trip
+    # baseline (no-op fetch) is measured and subtracted.
     read_fn = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
-    copy_fn = jax.jit(lambda a: a * jnp.bfloat16(1.0000305))  # defeat no-op copy elision
+    copy_fn = jax.jit(lambda a: jnp.sum((a * jnp.bfloat16(1.0000305)).astype(jnp.float32)))
+    noop_fn = jax.jit(lambda a: a + 1)
+    rtt_probe = jnp.zeros((), jnp.int32)
 
     def timed(fn, a, iters=8):
-        jax.block_until_ready(fn(a))
+        np.asarray(fn(a))  # compile + warm
         t0 = time.perf_counter()
-        out = None
         for _ in range(iters):
-            out = fn(a)
-        jax.block_until_ready(out)
+            np.asarray(fn(a))
         return (time.perf_counter() - t0) / iters
 
-    t_read = timed(read_fn, x8)
-    t_copy = timed(copy_fn, x16)
+    t_rtt = timed(noop_fn, rtt_probe, iters=16)
+
+    t_read = max(timed(read_fn, x8) - t_rtt, 1e-6)
+    t_copy = max(timed(copy_fn, x16) - t_rtt, 1e-6)
     read_bw = size / t_read / GB
-    copy_bw = (2 * (size // 2)) / t_copy / GB  # read + write
+    copy_bw = (2 * (size // 2)) / t_copy / GB  # read + write (sum output tiny)
     step_bytes = 1.3e9  # flagship decode step: int8 weights + KV traffic
     print(
         json.dumps(
             {
+                "rtt_s": round(t_rtt, 4),
                 "read_GBps": round(read_bw, 1),
                 "copy_GBps": round(copy_bw, 1),
                 "t_read_s": round(t_read, 4),

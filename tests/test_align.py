@@ -271,3 +271,23 @@ def test_align_fused_device_matches_host_backtrack(monkeypatch):
     fused = run()
     assert host["word_segments"] == fused["word_segments"]
     assert [s["text"] for s in host["segments"]] == [s["text"] for s in fused["segments"]]
+
+
+def test_align_charwise_language():
+    """ja/zh path: every character is its own word, no space→| mapping
+    (reference alignment.py:22,142-145 semantics)."""
+    text = "hello"
+    tokens = [DICT[c] for c in text]
+    model = AlignModel(RiggedW2V([tokens]), {}, DICT, "ja", blank_id=0)
+    out = align(
+        [{"start": 0.0, "end": 2.0, "text": text}],
+        model,
+        _metadata(lang="ja"),
+        np.zeros(2 * SR, np.float32),
+    )
+    words = out["word_segments"]
+    assert [w["word"] for w in words] == list(text)
+    starts = [w["start"] for w in words if "start" in w]
+    assert starts == sorted(starts) and len(starts) == 5
+    # Segment text joins without spaces for charwise languages.
+    assert all(" " not in seg["text"] for seg in out["segments"])

@@ -1,0 +1,52 @@
+"""CLI config resolution unit tests (cli.resolve_config)."""
+
+import numpy as np
+import pytest
+
+from whisperx_tpu.cli import build_parser, resolve_config
+
+
+def _resolve(argv):
+    parser = build_parser()
+    return resolve_config(parser.parse_args(argv), parser)
+
+
+def test_language_alias_and_validation():
+    cfg = _resolve(["a.wav", "--language", "French"])
+    assert cfg.language == "fr"
+    assert cfg.align_language == "fr"
+    # Detection mode: align model defaults to English (reference
+    # transcribe.py:226 quirk).
+    cfg = _resolve(["a.wav"])
+    assert cfg.language is None
+    assert cfg.align_language == "en"
+
+
+def test_english_only_model_forces_english():
+    with pytest.warns(UserWarning, match="English-only"):
+        cfg = _resolve(["a.wav", "--model", "small.en", "--language", "fr"])
+    assert cfg.language == "en"
+
+
+def test_temperature_fallback_schedule():
+    cfg = _resolve(["a.wav", "--temperature", "0.2"])
+    np.testing.assert_allclose(
+        cfg.asr_options["temperatures"], [0.2, 0.4, 0.6, 0.8, 1.0], atol=1e-9
+    )
+    cfg = _resolve(["a.wav", "--temperature_increment_on_fallback", "None"])
+    assert list(cfg.asr_options["temperatures"]) == [0.0]
+
+
+def test_translate_disables_alignment():
+    cfg = _resolve(["a.wav", "--task", "translate"])
+    assert cfg.do_align is False
+
+
+def test_word_options_require_alignment():
+    with pytest.raises(SystemExit):
+        _resolve(["a.wav", "--no_align", "--highlight_words", "True"])
+
+
+def test_suppress_tokens_parsing():
+    cfg = _resolve(["a.wav", "--suppress_tokens=-1,5,9"])
+    assert cfg.asr_options["suppress_tokens"] == [-1, 5, 9]
