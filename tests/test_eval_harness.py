@@ -59,3 +59,30 @@ def test_eval_harness_on_aligned_pipeline_output():
     assert out["wer"] == 0.0
     assert out["timestamp_f1"]["recall"] > 0.7, out
     assert len(hyp["word_segments"]) == 4
+
+
+def test_global_telemetry_covers_align_and_diarize():
+    from whisperx_tpu.utils import telemetry
+
+    telemetry.GLOBAL.stages.clear()
+
+    from tests.test_align import DICT, RiggedW2V, _metadata
+    from whisperx_tpu.align.alignment import AlignModel, align
+    from whisperx_tpu.diarize.pipeline import DiarizationPipeline
+
+    tokens = [DICT[c] for c in "hello|world"]
+    model = AlignModel(RiggedW2V([tokens]), {}, DICT, "en", blank_id=0)
+    align(
+        [{"start": 0.0, "end": 2.0, "text": " hello world"}],
+        model,
+        _metadata(),
+        np.zeros(2 * SR, np.float32),
+    )
+    from tests.test_diarize import _two_speaker_audio
+
+    audio = _two_speaker_audio()  # 7 s: bursts + silence (VAD finds turns)
+    DiarizationPipeline()(audio)
+
+    report = telemetry.GLOBAL.report()
+    assert report["align"]["calls"] == 1 and report["align"]["audio_seconds"] == 2.0
+    assert report["diarize"]["calls"] == 1 and report["diarize"]["audio_seconds"] == 7.0

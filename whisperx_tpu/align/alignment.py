@@ -244,6 +244,11 @@ def align(
     """Align transcription segments to the audio (reference align() API)."""
     from ..audio.io import load_audio
 
+    import time as _time
+
+    from ..utils import telemetry
+
+    _t0 = _time.perf_counter()
     if isinstance(audio, str):
         audio = load_audio(audio)
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
@@ -523,4 +528,12 @@ def align(
     word_segments = []
     for segment in aligned_segments:
         word_segments += segment["words"]
+
+    telemetry.GLOBAL.record(
+        "align",
+        seconds=_time.perf_counter() - _t0,
+        audio_seconds=sum(
+            max(0.0, float(s["end"]) - float(s["start"])) for s in transcript
+        ),
+    )
     return {"segments": aligned_segments, "word_segments": word_segments}

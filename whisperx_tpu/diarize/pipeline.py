@@ -81,14 +81,24 @@ class DiarizationPipeline:
         min_speakers: Optional[int] = None,
         max_speakers: Optional[int] = None,
     ):
+        import time as _time
+
         import pandas as pd
 
+        from ..utils import telemetry
+
+        _t0 = _time.perf_counter()
         if isinstance(audio, str):
             audio = load_audio(audio)
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
 
         spans, win = self._windows(audio)
         if not spans:
+            telemetry.GLOBAL.record(
+                "diarize",
+                seconds=_time.perf_counter() - _t0,
+                audio_seconds=len(audio) / SAMPLE_RATE,
+            )
             return pd.DataFrame(columns=["segment", "label", "speaker", "start", "end"])
 
         wavs = np.zeros((len(spans), win), np.float32)
@@ -124,5 +134,10 @@ class DiarizationPipeline:
                 "start": [s for s, _, _ in rows],
                 "end": [e for _, e, _ in rows],
             }
+        )
+        telemetry.GLOBAL.record(
+            "diarize",
+            seconds=_time.perf_counter() - _t0,
+            audio_seconds=len(audio) / SAMPLE_RATE,
         )
         return df

@@ -52,6 +52,17 @@ class PipelineTelemetry:
                 name, dt, audio_seconds, audio_seconds / dt if dt > 0 else 0,
             )
 
+    def record(self, name: str, seconds: float, audio_seconds: float = 0.0):
+        """Accumulate an externally-timed stage (non-context-manager form)."""
+        stats = self.stages.setdefault(name, StageStats())
+        stats.seconds += seconds
+        stats.calls += 1
+        stats.audio_seconds += audio_seconds
+        logger.debug(
+            "stage=%s dt=%.3fs audio=%.1fs xRT=%.1f",
+            name, seconds, audio_seconds, audio_seconds / seconds if seconds > 0 else 0,
+        )
+
     def report(self) -> dict:
         return {
             name: {
@@ -65,6 +76,12 @@ class PipelineTelemetry:
 
     def log_report(self):
         logger.info("pipeline stats: %s", json.dumps(self.report()))
+
+
+# Process-wide collector for the stages that run outside a WhisperPipeline
+# instance (align(), diarization) — the CLI and library flows both land here,
+# so telemetry.GLOBAL.report() covers the whole job.
+GLOBAL = PipelineTelemetry()
 
 
 @contextlib.contextmanager
