@@ -181,13 +181,26 @@ def _fused_align_fwd(model, blank: int, backend: str):
 
         @jax.jit
         def fwd(params, wavs, sample_lens, tokens, n_len):
+            import jax.numpy as jnp
+
             logits = model.apply({"params": params}, wavs, sample_lengths=sample_lens)
             logp = jax.nn.log_softmax(logits, axis=-1)
             t_len = model.feature_lengths(sample_lens)
-            out = ctc_align_batch_device(
+            tok_idx, probs, active, success, _t_start = ctc_align_batch_device(
                 logp, tokens, t_len, n_len, blank=blank, backend=backend
             )
-            return (*out, t_len)
+            # Pack into TWO output buffers: every device→host fetch through a
+            # remote TPU relay pays a full round trip (~27 ms measured), so
+            # six separate outputs would cost more in RTTs than the entire
+            # align device program. tok_idx < N and active ∈ {0,1} are exact
+            # in float32.
+            path_pack = jnp.stack(
+                [tok_idx.astype(jnp.float32), probs, active.astype(jnp.float32)]
+            )  # (3, B, T')
+            meta_pack = jnp.stack(
+                [success.astype(jnp.int32), t_len.astype(jnp.int32)]
+            )  # (2, B)
+            return path_pack, meta_pack
 
         _FUSED_ALIGN_CACHE[key] = fwd
     return fwd
@@ -339,7 +352,12 @@ def align(
 
         def consume(pending):
             idx, out = pending
-            tok_idx, probs, active, success, t_start, t_len = (np.asarray(a) for a in out)
+            path_pack = np.asarray(out[0])  # (3, B, T')
+            meta_pack = np.asarray(out[1])  # (2, B)
+            tok_idx = path_pack[0].astype(np.int32)
+            probs = path_pack[1]
+            active = path_pack[2] != 0.0
+            success, t_len = meta_pack[0] != 0, meta_pack[1]
             T = tok_idx.shape[1]
             times = T - 1 - np.arange(T)
             for row, k in enumerate(idx):

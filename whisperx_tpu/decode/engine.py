@@ -23,12 +23,37 @@ from .search import SearchOptions, beam_decode, greedy_decode
 from .tokenizer import WhisperTokenizer
 
 
-@dataclass(frozen=True)
 class DecodeResult:
-    tokens: np.ndarray  # (B, max_new) int32, EOT padded
-    sum_logprobs: np.ndarray  # (B,)
-    lengths: np.ndarray  # (B,)
-    no_speech_probs: Optional[np.ndarray] = None  # (B,) prob of <|nospeech|> at SOT
+    """Decode outputs with relay-friendly host access.
+
+    ``tokens`` is one buffer; the scalar-per-row statistics (sum_logprobs,
+    lengths, no_speech_probs) travel as ONE packed (3, B) float32 buffer and
+    are fetched lazily in a single device→host transfer — each separate
+    fetch through a remote TPU relay costs a full round trip (~27 ms
+    measured), which would otherwise rival the decode itself.
+    """
+
+    def __init__(self, tokens, stats):
+        self.tokens = tokens  # (B, max_new) int32 (device or host)
+        self._stats = stats  # (3, B) f32: [sum_logprobs, lengths, no_speech]
+        self._stats_host: Optional[np.ndarray] = None
+
+    def _fetch(self) -> np.ndarray:
+        if self._stats_host is None:
+            self._stats_host = np.asarray(self._stats)
+        return self._stats_host
+
+    @property
+    def sum_logprobs(self) -> np.ndarray:
+        return self._fetch()[0]
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return self._fetch()[1].astype(np.int32)
+
+    @property
+    def no_speech_probs(self) -> Optional[np.ndarray]:
+        return self._fetch()[2]
 
     @property
     def avg_logprobs(self) -> np.ndarray:
@@ -77,21 +102,9 @@ class WhisperEngine:
         pref = opts.cross_attn if opts is not None else "auto"
         if pref != "auto":
             return pref
-        cfg = self.config
-        if (
-            jax.default_backend() == "cpu"
-            or cfg.n_text_state % 128 != 0
-            or cfg.n_text_state // cfg.n_text_head != 64
-            or cfg.n_text_head % 2 != 0
-        ):
-            return "xla"
-        try:
-            mesh = jax.sharding.get_abstract_mesh()
-            if mesh is not None and not mesh.empty and mesh.size > 1:
-                return "xla"
-        except Exception:
-            pass
-        return "pallas"
+        # "auto" → XLA: lost 3/3 paired A/B runs to the einsum path at the
+        # flagship shape (see SearchOptions.cross_attn).
+        return "xla"
 
     def _prompt_cache(
         self,
@@ -331,13 +344,21 @@ class WhisperEngine:
             tokens, sum_lp, lengths, no_speech = self.decode_beam(params, mel, prompt, opts)
         else:
             tokens, sum_lp, lengths, no_speech = self.decode_greedy(params, mel, prompt, opts, rng)
-        conv = (lambda a: np.asarray(a)) if sync else (lambda a: a)
-        return DecodeResult(
-            tokens=conv(tokens),
-            sum_logprobs=conv(sum_lp),
-            lengths=conv(lengths),
-            no_speech_probs=conv(no_speech),
+        # Pack the per-row scalars into one buffer (one host fetch later);
+        # lengths < n_text_ctx are exact in float32.
+        stats = jnp.stack(
+            [
+                sum_lp.astype(jnp.float32),
+                lengths.astype(jnp.float32),
+                no_speech.astype(jnp.float32),
+            ]
         )
+        if sync:
+            return DecodeResult(np.asarray(tokens), np.asarray(stats))
+        return DecodeResult(tokens, stats)
 
     def decode_text(self, result: DecodeResult) -> list[str]:
-        return self.tokenizer.decode_batch([row.tolist() for row in result.tokens])
+        # One transfer for the whole token batch — iterating a device array
+        # row-wise would fetch per row (a relay round trip each).
+        tokens = np.asarray(result.tokens)
+        return self.tokenizer.decode_batch([row.tolist() for row in tokens])

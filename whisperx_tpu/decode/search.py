@@ -52,9 +52,12 @@ class SearchOptions:
     # cache and cross K/V per (token, head) — halves the dominant HBM traffic
     # of beam decode at negligible accuracy cost.
     kv_cache_dtype: str = "model"
-    # Cross-attention impl for decode: "auto" → fused Pallas kernel on TPU
-    # (single-device, head_dim 64), XLA einsum otherwise. Env override:
-    # WHISPERX_CROSS_ATTN=pallas|xla.
+    # Cross-attention impl for decode: "auto" → XLA einsum with the
+    # scale-commuting int8 epilogue. A/B'd against the fused Pallas kernel in
+    # r2 at the flagship shape — XLA won 3/3 paired runs (138.6x vs 135.3x
+    # mean; benchmarks/AB_RESULTS.json): XLA fuses the dequant epilogue and
+    # pipelines weight streaming better than the per-layer kernel launches.
+    # The kernel stays available via WHISPERX_CROSS_ATTN=pallas.
     cross_attn: str = "auto"
     # Candidate-selection impl for the per-step (B, K*V) top-2K: "exact" →
     # lax.top_k (full sort-based reduction); "approx" → lax.approx_max_k with
