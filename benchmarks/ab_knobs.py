@@ -33,9 +33,22 @@ CONFIGS = {
         "BENCH_FUSED_QKV": "1",
         "BENCH_BATCH": "16",
     },
+    # cross-attention impl (decode-only; substantiates the XLA default flip)
+    "cross-attn-xla": {"WHISPERX_CROSS_ATTN": "xla"},
+    "cross-attn-pallas": {"WHISPERX_CROSS_ATTN": "pallas"},
     # align-path knobs (override BENCH_ALIGN back on)
     "align-base": {"BENCH_ALIGN": "1"},
     "align-attn-flash": {"BENCH_ALIGN": "1", "WHISPERX_ATTN": "flash"},
+    # r3: alignment-tax knobs (BASELINE metric includes alignment; these
+    # attack the ~19% it costs on top of decode-only)
+    "align-w2v-int8": {"BENCH_ALIGN": "1", "BENCH_ALIGN_QUANT": "int8"},
+    "align-batch16": {"BENCH_ALIGN": "1", "BENCH_ALIGN_BATCH": "16"},
+    "align-bucket2s": {"BENCH_ALIGN": "1", "WHISPERX_ALIGN_BUCKET_S": "2"},
+    "align-combo": {
+        "BENCH_ALIGN": "1",
+        "BENCH_ALIGN_QUANT": "int8",
+        "BENCH_ALIGN_BATCH": "16",
+    },
 }
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AB_RESULTS.json")
@@ -47,22 +60,28 @@ def main():
     for name in names:
         env = {**os.environ, "BENCH_ALIGN": "0", **CONFIGS[name]}
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "bench.py"], cwd=root, env=env,
-            capture_output=True, text=True, timeout=3600,
-        )
-        line = next(
-            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "bench.py"], cwd=root, env=env,
+                capture_output=True, text=True, timeout=3600,
+            )
+            stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+        except subprocess.TimeoutExpired as e:
+            # Record the timeout and keep going — a hung config must not
+            # silently drop every remaining config's record.
+            stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")
+            rc = -1
+        line = next((l for l in stdout.splitlines() if l.startswith("{")), None)
         record = {
             "config": name,
             "env": CONFIGS[name],
             "wall_s": round(time.time() - t0, 1),
             "result": json.loads(line) if line else None,
-            "rc": proc.returncode,
+            "rc": rc,
         }
-        if proc.returncode != 0:
-            record["stderr_tail"] = proc.stderr[-800:]
+        if rc != 0:
+            record["stderr_tail"] = ("TIMEOUT\n" if rc == -1 else "") + stderr[-800:]
         with open(RESULTS, "a") as f:
             f.write(json.dumps(record) + "\n")
         print(json.dumps(record), flush=True)

@@ -35,15 +35,22 @@ def main():
     # timed iteration therefore fetches a scalar, and the relay round-trip
     # baseline (no-op fetch) is measured and subtracted.
     read_fn = jax.jit(lambda a: jnp.sum(a.astype(jnp.int32)))
-    copy_fn = jax.jit(lambda a: jnp.sum((a * jnp.bfloat16(1.0000305)).astype(jnp.float32)))
+    # True copy bandwidth: materialize a same-size output (reads size/2
+    # bytes, writes size/2 bytes) and sync by fetching one element. A fused
+    # multiply-reduce would read-only and report ~2x inflated "copy" numbers.
+    copy_fn = jax.jit(lambda a: a * jnp.bfloat16(1.0000305))
     noop_fn = jax.jit(lambda a: a + 1)
     rtt_probe = jnp.zeros((), jnp.int32)
 
     def timed(fn, a, iters=8):
-        np.asarray(fn(a))  # compile + warm
+        out = fn(a)  # compile + warm
+        np.asarray(out.ravel()[0] if out.ndim else out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            np.asarray(fn(a))
+            out = fn(a)
+            # Device→host fetch of one element forces full execution through
+            # the relay (block_until_ready alone does not, see NOTE above).
+            np.asarray(out.ravel()[0] if out.ndim else out)
         return (time.perf_counter() - t0) / iters
 
     t_rtt = timed(noop_fn, rtt_probe, iters=16)
@@ -51,7 +58,7 @@ def main():
     t_read = max(timed(read_fn, x8) - t_rtt, 1e-6)
     t_copy = max(timed(copy_fn, x16) - t_rtt, 1e-6)
     read_bw = size / t_read / GB
-    copy_bw = (2 * (size // 2)) / t_copy / GB  # read + write (sum output tiny)
+    copy_bw = (2 * (size // 2)) / t_copy / GB  # reads size/2 + writes size/2
     step_bytes = 1.3e9  # flagship decode step: int8 weights + KV traffic
     print(
         json.dumps(

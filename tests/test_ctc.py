@@ -171,3 +171,16 @@ def test_device_backtrack_matches_host():
         np.testing.assert_allclose(
             [p.score for p in h], [p.score for p in d], rtol=1e-5, atol=1e-6
         )
+
+
+def test_unknown_backend_raises():
+    """An unknown trellis backend must raise, not silently no-op (ADVICE r2:
+    docs listed a deleted 'pallas' backend the code quietly swallowed)."""
+    import pytest
+
+    from whisperx_tpu.ops.ctc import align_tokens_batch
+
+    rng = np.random.default_rng(0)
+    logp = rng.standard_normal((1, 10, 5)).astype(np.float32)
+    with pytest.raises(ValueError, match="unknown CTC trellis backend"):
+        align_tokens_batch(logp, [[1, 2]], [10], blank=0, backend="pallas")

@@ -55,9 +55,11 @@ class SearchOptions:
     # Cross-attention impl for decode: "auto" → XLA einsum with the
     # scale-commuting int8 epilogue. A/B'd against the fused Pallas kernel in
     # r2 at the flagship shape — XLA won 3/3 paired runs (138.6x vs 135.3x
-    # mean; benchmarks/AB_RESULTS.json): XLA fuses the dequant epilogue and
-    # pipelines weight streaming better than the per-layer kernel launches.
-    # The kernel stays available via WHISPERX_CROSS_ATTN=pallas.
+    # mean): XLA fuses the dequant epilogue and pipelines weight streaming
+    # better than the per-layer kernel launches. (Those r2 runs were ad hoc
+    # and not checked in; the cross-attn-xla/cross-attn-pallas configs in
+    # benchmarks/ab_knobs.py re-record them into AB_RESULTS.json.) The kernel
+    # stays available via WHISPERX_CROSS_ATTN=pallas.
     cross_attn: str = "auto"
     # Candidate-selection impl for the per-step (B, K*V) top-2K: "exact" →
     # lax.top_k (full sort-based reduction); "approx" → lax.approx_max_k with

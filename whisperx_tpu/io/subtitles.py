@@ -191,8 +191,11 @@ class SubtitlesProcessor:
             self.conjunctions,
         ).walk()
 
-        # Materialize fragments between cuts; the tail fragment snaps its end
-        # to the next segment's start when the gap is small.
+        # Materialize fragments between cuts; only the IMPLICIT tail fragment
+        # (not a split cut that happens to land on the last word) snaps its
+        # end to the next segment's start — in the reference a split point at
+        # the last word had lookahead=None and never snapped.
+        cut_set = set(cuts)
         fragments = []
         elapsed = segment["start"]
         total_time = segment["end"] - segment["start"]
@@ -207,8 +210,10 @@ class SubtitlesProcessor:
                 end = frag[-1]["end"]
                 if hi + 1 < len(words) and isinstance(words[hi + 1], dict):
                     upcoming = words[hi + 1].get("start")
+                elif hi == len(words) - 1 and hi not in cut_set:
+                    upcoming = next_segment_start
                 else:
-                    upcoming = next_segment_start if hi == len(words) - 1 else None
+                    upcoming = None
                 if upcoming is not None and (upcoming - end) <= END_SNAP_GAP:
                     end = upcoming
                 text = self.joiner.join(w["word"] for w in frag)

@@ -200,12 +200,18 @@ def ctc_align_batch_device(
     here the walk is a vmapped ``lax.scan`` and only (B, T) path arrays come
     back. Returns (token_idx, probs, active, success, t_start).
     """
-    # backend kept for API stability; "scan" is the only implementation. A
-    # VMEM-resident Pallas trellis kernel was built and A/B'd in r2 but
-    # failed Mosaic lowering at production shapes (dynamic lane-dim indexing
-    # at T=1499) and the scan trellis is ~0.7% of the end-to-end budget —
-    # deleted rather than shipped broken (benchmarks/AB_RESULTS.json).
-    del backend
+    # "scan" is the only trellis implementation. A VMEM-resident Pallas
+    # trellis kernel was built and A/B'd in r2 but failed Mosaic lowering at
+    # production shapes (dynamic lane-dim indexing at T=1499) and the scan
+    # trellis is ~0.7% of the end-to-end budget — deleted rather than shipped
+    # broken (benchmarks/AB_RESULTS.json). Unknown backends are an error, not
+    # a silent no-op (a knob that quietly does nothing is worse than one that
+    # raises).
+    if backend != "scan":
+        raise ValueError(
+            f"unknown CTC trellis backend {backend!r}: 'scan' is the only "
+            "implementation (the r2 Pallas trellis was deleted)"
+        )
     trellis = ctc_trellis_batch(log_probs, tokens, t_len, n_len, blank=blank)
 
     blank_em = log_probs[:, :, blank]
