@@ -35,9 +35,11 @@ class TranscriptionOptions:
     """Reference-compatible decode options (whisperx/asr.py:300-326 defaults).
 
     The batched path honors beam_size/patience/length_penalty/suppression and
-    max_new_tokens; the temperature-fallback fields are kept for API parity
-    (the reference's batched path never implements them either —
-    whisperx/asr.py:53-62 does a single beam pass).
+    max_new_tokens. The temperature/threshold/best_of fields drive the
+    opt-in quality gate (``enable_fallback``): failed chunks re-decode at the
+    next temperature with ``best_of`` sampled candidates each, best avg
+    logprob wins. The reference's batched path parses all of these but never
+    implements them (whisperx/asr.py:53-62 does a single beam pass).
     """
 
     beam_size: int = 5
@@ -291,9 +293,12 @@ class WhisperPipeline:
         """Whisper-style quality gate over the batched results.
 
         Chunks failing the compression-ratio or avg-logprob thresholds are
-        re-decoded at the next temperature (sampling, beam off), batched.
-        Chunks flagged silent (<|nospeech|> prob above threshold AND low
-        logprob) end up with empty text.
+        re-decoded at the next temperature with ``best_of`` independent
+        sampled candidates per chunk — drawn as ONE widened batch, not a loop
+        — keeping the candidate with the highest avg logprob (whisper
+        semantics the reference parses but never implements in its batched
+        path, whisperx/asr.py:301,53-62). Chunks flagged silent (<|nospeech|>
+        prob above threshold AND low logprob) end up with empty text.
         """
         import jax
 
@@ -303,6 +308,7 @@ class WhisperPipeline:
         cr_thr = opts.compression_ratio_threshold
         lp_thr = opts.log_prob_threshold
         ns_thr = opts.no_speech_threshold
+        n_cand = max(1, int(opts.best_of or 1))
 
         def failed(idx: int) -> bool:
             if cr_thr is not None and texts[idx].strip() and compression_ratio(texts[idx]) > cr_thr:
@@ -319,7 +325,10 @@ class WhisperPipeline:
             import dataclasses
 
             fb_opts = dataclasses.replace(search_opts, beam_size=1, temperature=float(temp))
-            retry_segments = [vad_segments[i] for i in pending]
+            # Each failed chunk appears best_of times in the retry batch;
+            # jax.random.categorical draws independently per row, so the
+            # replicated rows are distinct samples of the same chunk.
+            retry_segments = [vad_segments[i] for i in pending for _ in range(n_cand)]
             new_texts: List[str] = []
             new_lps: List[float] = []
             done = 0
@@ -334,8 +343,10 @@ class WhisperPipeline:
                 new_lps.extend(result.avg_logprobs[:n_valid].tolist())
                 done += n_valid
             for row, idx in enumerate(pending):
-                texts[idx] = new_texts[row]
-                avg_lps[idx] = new_lps[row]
+                lo = row * n_cand
+                best = lo + int(np.argmax(new_lps[lo : lo + n_cand]))
+                texts[idx] = new_texts[best]
+                avg_lps[idx] = new_lps[best]
             pending = [i for i in pending if failed(i)]
 
         # Silence gate: no-speech prob high AND decode confidence low → empty.
