@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--min_speakers", default=None, type=int, help="Minimum number of speakers to in audio file")
     parser.add_argument("--max_speakers", default=None, type=int, help="Maximum number of speakers to in audio file")
     parser.add_argument("--diarize_checkpoint", type=str, default=None, help="path to a local WeSpeaker ResNet34 speaker-embedding checkpoint for neural diarization")
+    parser.add_argument("--segmentation_checkpoint", type=str, default=None, help="path to the pinned pyannote segmentation checkpoint; enables overlap-aware diarization (local speaker activities, simultaneous speakers). Defaults to --vad_checkpoint when that is set.")
+    parser.add_argument("--diarize_clustering_threshold", type=float, default=0.7, help="agglomerative cosine-distance threshold for speaker clustering when the speaker count is unknown")
 
     parser.add_argument("--temperature", type=float, default=0, help="temperature to use for sampling")
     parser.add_argument("--best_of", type=optional_int, default=5, help="number of candidates when sampling with non-zero temperature")
@@ -136,6 +138,8 @@ class CliConfig:
     min_speakers: Optional[int] = None
     max_speakers: Optional[int] = None
     diarize_checkpoint: Optional[str] = None
+    segmentation_checkpoint: Optional[str] = None
+    diarize_clustering_threshold: float = 0.7
     hf_token: Optional[str] = None
     # output
     output_dir: str = "."
@@ -236,6 +240,10 @@ def resolve_config(ns: argparse.Namespace, parser: argparse.ArgumentParser) -> C
         min_speakers=ns.min_speakers,
         max_speakers=ns.max_speakers,
         diarize_checkpoint=ns.diarize_checkpoint,
+        # The pyannote segmentation checkpoint serves both neural VAD and the
+        # overlap-aware diarization stage; --vad_checkpoint flows through.
+        segmentation_checkpoint=ns.segmentation_checkpoint or ns.vad_checkpoint,
+        diarize_clustering_threshold=ns.diarize_clustering_threshold,
         hf_token=ns.hf_token,
         output_dir=ns.output_dir,
         output_format=ns.output_format,
@@ -330,6 +338,9 @@ def _diarize_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
         use_auth_token=cfg.hf_token,
         device=cfg.device,
         checkpoint=cfg.diarize_checkpoint,
+        vad_checkpoint=cfg.vad_checkpoint,
+        segmentation_checkpoint=cfg.segmentation_checkpoint,
+        clustering_threshold=cfg.diarize_clustering_threshold,
     )
     for job in jobs:
         if cfg.verbose or cfg.print_progress:

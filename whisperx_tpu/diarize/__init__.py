@@ -2,6 +2,7 @@ from .assign import Segment, assign_word_speakers
 from .cluster import cluster_speakers
 from .embed import MelStatsEmbedding, NeuralSpeakerEmbedding, ResNet34Embedding
 from .pipeline import DiarizationPipeline
+from .segmentation import NeuralSegmentation, OverlapDiarizer
 
 __all__ = [
     "Segment",
@@ -11,4 +12,6 @@ __all__ = [
     "NeuralSpeakerEmbedding",
     "ResNet34Embedding",
     "DiarizationPipeline",
+    "NeuralSegmentation",
+    "OverlapDiarizer",
 ]

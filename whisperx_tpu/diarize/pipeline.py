@@ -1,16 +1,28 @@
-"""Speaker diarization pipeline: VAD → windows → embeddings → clustering.
+"""Speaker diarization pipeline.
 
 API parity with the reference wrapper (whisperx/diarize.py:10-32): callable
 on audio (path or waveform), honors num/min/max_speakers, and returns a
 pandas DataFrame with ``segment``/``label``/``speaker``/``start``/``end``
 columns — drop-in for ``assign_word_speakers``.
 
-Pipeline (classical embedding-clustering diarization, device-batched):
-1. speech turns from the VAD scorer,
-2. sliding 1.5 s / 0.75 s embedding windows inside each turn,
-3. ONE batched on-device embedding forward for all windows,
-4. agglomerative cosine clustering on the host,
-5. merge adjacent same-speaker windows into turns.
+Two modes:
+
+- **Overlap-aware** (the reference's pyannote-3.1 architecture,
+  whisperx/diarize.py:19,28): with a segmentation model — either
+  ``segmentation_checkpoint`` (converted pyannote PyanNet weights) or an
+  injected ``segmentation`` scorer — local per-speaker activities are
+  computed in sliding windows, masked embeddings are clustered globally, and
+  per-speaker binarization emits turns that MAY overlap (two simultaneous
+  speakers both appear). See ``diarize/segmentation.py``.
+- **VAD-window fallback** (no segmentation model): speech turns from the VAD
+  scorer are cut into 1.5 s / 0.75 s windows, embedded in one batch, and
+  clustered; adjacent same-speaker windows merge into turns. Cannot emit
+  overlapping speakers.
+
+The agglomerative cosine-distance threshold used when the speaker count is
+unknown is ``clustering_threshold`` (default 0.7; see
+tests/test_diarize.py::test_clustering_threshold_sensitivity for the
+separation curve behind the default).
 """
 
 from __future__ import annotations
@@ -21,10 +33,25 @@ import numpy as np
 
 from ..audio.constants import SAMPLE_RATE
 from ..audio.io import load_audio
-from ..vad.model import EnergyVAD, VadPipeline
+from ..vad.model import EnergyVAD, VadPipeline, load_vad_model
 from .assign import Segment
 from .cluster import cluster_speakers
 from .embed import MelStatsEmbedding
+
+
+def _turns_dataframe(rows):
+    """[(start, end, int label)] → the reference's diarization DataFrame."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "segment": [Segment(s, e) for s, e, _ in rows],
+            "label": [f"SPEAKER_{l:02d}" for _, _, l in rows],
+            "speaker": [f"SPEAKER_{l:02d}" for _, _, l in rows],
+            "start": [s for s, _, _ in rows],
+            "end": [e for _, e, _ in rows],
+        }
+    )
 
 
 class DiarizationPipeline:
@@ -36,9 +63,13 @@ class DiarizationPipeline:
         *,
         embedder=None,
         vad: Optional[VadPipeline] = None,
+        vad_checkpoint: Optional[str] = None,
         window: float = 1.5,
         step: float = 0.75,
         checkpoint: Optional[str] = None,
+        segmentation=None,
+        segmentation_checkpoint: Optional[str] = None,
+        clustering_threshold: float = 0.7,
     ):
         if embedder is None:
             if checkpoint:
@@ -53,9 +84,40 @@ class DiarizationPipeline:
             else:
                 embedder = MelStatsEmbedding()
         self.embedder = embedder
-        self.vad = vad or VadPipeline(EnergyVAD())
+        if vad is None:
+            if vad_checkpoint:
+                vad = load_vad_model(device, checkpoint=vad_checkpoint)
+            else:
+                vad = VadPipeline(EnergyVAD())
+        self.vad = vad
         self.window = window
         self.step = step
+        self.clustering_threshold = clustering_threshold
+
+        # Overlap-aware segmentation stage (pyannote-3.1 architecture).
+        if segmentation is None and segmentation_checkpoint:
+            from ..models.convert import load_pyannet_vad
+            from ..vad.model import verify_checkpoint_sha256
+            import os
+
+            if os.path.isfile(segmentation_checkpoint):
+                verify_checkpoint_sha256(segmentation_checkpoint, None)
+            seg_model, seg_params = load_pyannet_vad(segmentation_checkpoint)
+            from .segmentation import NeuralSegmentation
+
+            segmentation = NeuralSegmentation(seg_model, seg_params)
+        self.segmentation = segmentation
+        self._overlap = None
+        if segmentation is not None:
+            from .segmentation import OverlapDiarizer
+
+            self._overlap = OverlapDiarizer(
+                segmentation,
+                self.embedder,
+                onset=self.vad.onset,
+                offset=self.vad.offset,
+                clustering_threshold=clustering_threshold,
+            )
 
     def _windows(self, audio: np.ndarray):
         win = int(self.window * SAMPLE_RATE)
@@ -92,6 +154,21 @@ class DiarizationPipeline:
             audio = load_audio(audio)
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
 
+        if self._overlap is not None:
+            rows = self._overlap(
+                audio,
+                num_speakers=num_speakers,
+                min_speakers=min_speakers,
+                max_speakers=max_speakers,
+            )
+            df = _turns_dataframe(rows)
+            telemetry.GLOBAL.record(
+                "diarize",
+                seconds=_time.perf_counter() - _t0,
+                audio_seconds=len(audio) / SAMPLE_RATE,
+            )
+            return df
+
         spans, win = self._windows(audio)
         if not spans:
             telemetry.GLOBAL.record(
@@ -110,6 +187,7 @@ class DiarizationPipeline:
             num_speakers=num_speakers,
             min_speakers=min_speakers,
             max_speakers=max_speakers,
+            threshold=self.clustering_threshold,
         )
 
         # Merge adjacent same-speaker windows into speaker turns.
@@ -126,15 +204,7 @@ class DiarizationPipeline:
         if cur_label is not None:
             rows.append((cur_start, cur_end, int(cur_label)))
 
-        df = pd.DataFrame(
-            {
-                "segment": [Segment(s, e) for s, e, _ in rows],
-                "label": [f"SPEAKER_{l:02d}" for _, _, l in rows],
-                "speaker": [f"SPEAKER_{l:02d}" for _, _, l in rows],
-                "start": [s for s, _, _ in rows],
-                "end": [e for _, e, _ in rows],
-            }
-        )
+        df = _turns_dataframe(rows)
         telemetry.GLOBAL.record(
             "diarize",
             seconds=_time.perf_counter() - _t0,
