@@ -1,0 +1,305 @@
+"""Real-checkpoint validation chain (env-gated; VERDICT r2 item 7).
+
+This build environment has no network and no model weights, so the gated
+tests skip by default. The day real checkpoints land, ONE command validates
+the whole conversion chain — pinned digest, converter, and torch-forward
+parity on the actual weights:
+
+    WHISPERX_SEGMENTATION_CKPT=/path/to/pytorch_model.bin \
+    WHISPERX_WESPEAKER_CKPT=/path/to/wespeaker.bin \
+    python -m pytest tests/test_real_checkpoints.py -v
+
+- The segmentation digest is pinned (models/pinned.py — the reference's own
+  URL-hash pin, whisperx/vad.py:18,46-49); a mismatch fails unless
+  WHISPERX_CKPT_ALLOW_UNPINNED=1.
+- The WeSpeaker digest has no offline-determinable pin; the first validation
+  warns with the observed digest to record in models/pinned.py.
+- Torch-forward parity rebuilds the architecture in plain torch modules,
+  loads the REAL state dict into them, and requires the converted JAX
+  forward to match.
+- ``test_validation_chain_rehearsal`` runs the exact same chain against
+  synthetic full-layout checkpoints offline, so the gated path is known-good
+  before any real weights exist.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+SEG_CKPT = os.environ.get("WHISPERX_SEGMENTATION_CKPT")
+EMB_CKPT = os.environ.get("WHISPERX_WESPEAKER_CKPT")
+ALLOW_UNPINNED = os.environ.get("WHISPERX_CKPT_ALLOW_UNPINNED") == "1"
+
+
+def _strip_prefix(sd: dict, prefixes=("model.", "resnet.", "speaker_encoder.")) -> dict:
+    for prefix in prefixes:
+        if any(k.startswith(prefix) for k in sd):
+            sd = {(k[len(prefix):] if k.startswith(prefix) else k): v for k, v in sd.items()}
+    return sd
+
+
+def _torch_pyannet_from_sd(sd: dict):
+    """PyanNet in plain torch modules, hyperparams inferred from the state
+    dict, weights loaded strict. Same architecture replica as
+    tests/test_convert.py::test_pyannet_conversion_parity, sized from sd."""
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from whisperx_tpu.models.vad_net import SINC_KERNEL, SINC_STRIDE
+
+    n_classes = sd["classifier.weight"].shape[0]
+    lstm_layers = (
+        max(
+            int(k.split("_l")[-1].replace("_reverse", ""))
+            for k in sd
+            if k.startswith("lstm.weight_ih")
+        )
+        + 1
+    )
+    n_filters = sd["sincnet.norm1d.0.weight"].shape[0]
+    conv_ch = [sd[f"sincnet.conv1d.{i}.weight"].shape[0] for i in (1, 2)]
+    linear_dims = []
+    i = 0
+    while f"linear.{i}.weight" in sd:
+        linear_dims.append(sd[f"linear.{i}.weight"].shape[0])
+        i += 1
+    lstm_hidden = sd["lstm.weight_hh_l0"].shape[1]
+
+    class SincFB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.low_hz_ = nn.Parameter(torch.zeros(n_filters, 1))
+            self.band_hz_ = nn.Parameter(torch.zeros(n_filters, 1))
+
+        def filters(self):
+            low = 50.0 + torch.abs(self.low_hz_)
+            high = torch.clamp(low + 50.0 + torch.abs(self.band_hz_), 50.0, 8000.0)
+            band = (high - low)[:, 0]
+            half = (SINC_KERNEL - 1) // 2
+            n = torch.arange(-half, 0, dtype=torch.float32)[None, :]
+            n_2pi = 2 * torch.pi * n / 16000.0
+            window = 0.54 - 0.46 * torch.cos(
+                2 * torch.pi * torch.arange(half, dtype=torch.float32) / SINC_KERNEL
+            )
+            bp_left = ((torch.sin(high * n_2pi) - torch.sin(low * n_2pi)) / (n_2pi / 2)) * window
+            bp_center = 2 * band[:, None]
+            filt = torch.cat([bp_left, bp_center, bp_left.flip(-1)], dim=1)
+            return (filt / (2 * band[:, None]))[:, None, :]
+
+        def forward(self, x):
+            return F.conv1d(x, self.filters(), stride=SINC_STRIDE)
+
+    class TorchPyanNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.sincnet = nn.Module()
+            self.sincnet.wav_norm1d = nn.InstanceNorm1d(1, affine=True)
+            self.sincnet.conv1d = nn.ModuleList(
+                [SincFB(), nn.Conv1d(n_filters, conv_ch[0], 5), nn.Conv1d(conv_ch[0], conv_ch[1], 5)]
+            )
+            self.sincnet.norm1d = nn.ModuleList(
+                [nn.InstanceNorm1d(c, affine=True) for c in (n_filters, *conv_ch)]
+            )
+            self.lstm = nn.LSTM(
+                conv_ch[1], lstm_hidden, num_layers=lstm_layers,
+                bidirectional=True, batch_first=True,
+            )
+            dims = [2 * lstm_hidden] + linear_dims
+            self.linear = nn.ModuleList(
+                [nn.Linear(a, b) for a, b in zip(dims[:-1], dims[1:])]
+            )
+            self.classifier = nn.Linear(linear_dims[-1], n_classes)
+
+        def forward(self, wav):  # (B, T)
+            x = self.sincnet.wav_norm1d(wav[:, None, :])
+            x = torch.abs(self.sincnet.conv1d[0](x))
+            x = F.leaky_relu(self.sincnet.norm1d[0](F.max_pool1d(x, 3, 3)))
+            for i in (1, 2):
+                x = self.sincnet.conv1d[i](x)
+                x = F.leaky_relu(self.sincnet.norm1d[i](F.max_pool1d(x, 3, 3)))
+            x, _ = self.lstm(x.permute(0, 2, 1))
+            for lin in self.linear:
+                x = F.leaky_relu(lin(x))
+            return torch.sigmoid(self.classifier(x))
+
+    net = TorchPyanNet()
+    # Real pyannote names the sinc params under a `filterbank.` submodule.
+    renamed = {
+        k.replace("conv1d.0.filterbank.", "conv1d.0."): v for k, v in sd.items()
+    }
+    net.load_state_dict({k: torch.from_numpy(np.asarray(v)) for k, v in renamed.items()})
+    return net.eval()
+
+
+# ---------------------------------------------------------------------------
+# The validation chains (shared by the env-gated tests and the rehearsal)
+# ---------------------------------------------------------------------------
+
+
+def _run_segmentation_chain(path: str, *, strict: bool):
+    from whisperx_tpu.models.convert import load_pyannet_vad, load_state_dict
+    from whisperx_tpu.models.pinned import verify_pinned
+
+    verify_pinned("pyannote-segmentation", path, strict=strict)
+
+    model, params = load_pyannet_vad(path)
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(wav)))
+    assert got.shape[0] == 2 and got.shape[2] == model.num_classes
+    assert np.all((got >= 0) & (got <= 1))
+
+    sd = _strip_prefix(load_state_dict(path))
+    net = _torch_pyannet_from_sd(sd)
+    with torch.no_grad():
+        want = net(torch.from_numpy(wav)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    return model, params
+
+
+def _run_wespeaker_chain(path: str, *, strict: bool):
+    from whisperx_tpu.models.convert import load_state_dict, load_wespeaker_resnet34
+    from whisperx_tpu.models.pinned import verify_pinned
+
+    # No offline pin exists — warns with the observed digest to record.
+    verify_pinned("wespeaker-voxceleb-resnet34-LM", path, strict=strict)
+
+    model, variables, n_mels = load_wespeaker_resnet34(path)
+
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((2, 150, n_mels)).astype(np.float32)
+    got = np.asarray(model.apply(variables, feats))
+    assert got.shape == (2, model.embed_dim)
+
+    # Torch replica loaded with the checkpoint's weights (same module layout
+    # the random-weight parity test uses, sized from the checkpoint).
+    from tests.test_diarize import _torch_wespeaker
+
+    sd = _strip_prefix(load_state_dict(path))
+    base = sd["conv1.weight"].shape[0]
+    blocks = tuple(
+        len({k.split(".")[1] for k in sd if k.startswith(f"layer{s}.")})
+        for s in range(1, 5)
+    )
+    embed = sd["seg_1.weight"].shape[0]
+    net = _torch_wespeaker(feat_dim=n_mels, base=base, blocks=blocks, embed=embed)
+    net.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=False
+    )
+    net.eval()
+    with torch.no_grad():
+        want = net(torch.from_numpy(feats)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    return model, variables
+
+
+# ---------------------------------------------------------------------------
+# Env-gated: run against REAL checkpoints when present
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not SEG_CKPT, reason="set WHISPERX_SEGMENTATION_CKPT to validate")
+def test_real_segmentation_checkpoint_chain():
+    _run_segmentation_chain(SEG_CKPT, strict=not ALLOW_UNPINNED)
+
+
+@pytest.mark.skipif(not EMB_CKPT, reason="set WHISPERX_WESPEAKER_CKPT to validate")
+def test_real_wespeaker_checkpoint_chain():
+    _run_wespeaker_chain(EMB_CKPT, strict=not ALLOW_UNPINNED)
+
+
+# ---------------------------------------------------------------------------
+# Offline rehearsal: the same chain over synthetic full-layout checkpoints,
+# so the gated path is known-good before any real weights exist.
+# ---------------------------------------------------------------------------
+
+
+def test_validation_chain_rehearsal(tmp_path):
+    # Synthetic pyannote-style segmentation checkpoint (real key layout:
+    # Lightning "state_dict" + "model." prefix + filterbank submodule).
+    rng = np.random.default_rng(3)
+
+    def t(*shape, scale=0.1):
+        return torch.from_numpy((rng.standard_normal(shape) * scale).astype(np.float32))
+
+    sd = {}
+    sd["sincnet.wav_norm1d.weight"] = t(1) + 1.0
+    sd["sincnet.wav_norm1d.bias"] = t(1)
+    low, high = 30.0, 8000.0 - 130.0
+    mel = np.linspace(
+        2595 * np.log10(1 + low / 700), 2595 * np.log10(1 + high / 700), 81
+    )
+    hz = 700 * (10 ** (mel / 2595) - 1)
+    sd["sincnet.conv1d.0.filterbank.low_hz_"] = torch.from_numpy(
+        hz[:-1, None].astype(np.float32)
+    )
+    sd["sincnet.conv1d.0.filterbank.band_hz_"] = torch.from_numpy(
+        np.diff(hz)[:, None].astype(np.float32)
+    )
+    sd["sincnet.conv1d.1.weight"] = t(60, 80, 5)
+    sd["sincnet.conv1d.1.bias"] = t(60)
+    sd["sincnet.conv1d.2.weight"] = t(60, 60, 5)
+    sd["sincnet.conv1d.2.bias"] = t(60)
+    for i, c in enumerate((80, 60, 60)):
+        sd[f"sincnet.norm1d.{i}.weight"] = t(c) + 1.0
+        sd[f"sincnet.norm1d.{i}.bias"] = t(c)
+    h, layers = 128, 2  # smaller LSTM than production: chain infers it
+    for l in range(layers):
+        d_in = 60 if l == 0 else 2 * h
+        for suffix in ("", "_reverse"):
+            sd[f"lstm.weight_ih_l{l}{suffix}"] = t(4 * h, d_in)
+            sd[f"lstm.weight_hh_l{l}{suffix}"] = t(4 * h, h)
+            sd[f"lstm.bias_ih_l{l}{suffix}"] = t(4 * h)
+            sd[f"lstm.bias_hh_l{l}{suffix}"] = t(4 * h)
+    sd["linear.0.weight"] = t(128, 2 * h)
+    sd["linear.0.bias"] = t(128)
+    sd["linear.1.weight"] = t(128, 128)
+    sd["linear.1.bias"] = t(128)
+    sd["classifier.weight"] = t(3, 128)
+    sd["classifier.bias"] = t(3)
+
+    seg_path = tmp_path / "segmentation.bin"
+    torch.save({"state_dict": {f"model.{k}": v for k, v in sd.items()}}, seg_path)
+    with pytest.warns(UserWarning, match="SHA256 mismatch"):
+        _run_segmentation_chain(str(seg_path), strict=False)
+
+    # Synthetic wespeaker checkpoint via the torch replica.
+    from tests.test_diarize import _torch_wespeaker
+
+    net = _torch_wespeaker(feat_dim=16, base=4, blocks=(1, 1, 1, 1), embed=8)
+    emb_path = tmp_path / "embedding.bin"
+    torch.save(
+        {"state_dict": {f"resnet.{k}": v for k, v in net.state_dict().items()}},
+        emb_path,
+    )
+    with pytest.warns(UserWarning, match="no pinned digest"):
+        _run_wespeaker_chain(str(emb_path), strict=True)
+
+
+def test_pinned_registry_and_verify_helper(tmp_path):
+    """The registry + verify_pinned contract itself (runs offline)."""
+    from whisperx_tpu.models.pinned import PINNED, file_sha256, verify_pinned
+
+    # The segmentation pin is the reference's URL-hash (vad.py:18).
+    assert PINNED["pyannote-segmentation"].startswith("0b5b3216")
+    assert "wespeaker-voxceleb-resnet34-LM" in PINNED
+
+    f = tmp_path / "w.bin"
+    f.write_bytes(b"weights")
+    digest = file_sha256(str(f))
+
+    # Unpinned name → warn, return digest.
+    with pytest.warns(UserWarning, match="no pinned digest"):
+        assert verify_pinned("wespeaker-voxceleb-resnet34-LM", str(f)) == digest
+
+    # Pinned mismatch → strict raises, non-strict warns.
+    with pytest.raises(RuntimeError, match="SHA256 mismatch"):
+        verify_pinned("pyannote-segmentation", str(f), strict=True)
+    with pytest.warns(UserWarning, match="SHA256 mismatch"):
+        verify_pinned("pyannote-segmentation", str(f), strict=False)

@@ -76,9 +76,16 @@ class DiarizationPipeline:
                 # WeSpeaker ResNet34 (the embedding model inside the
                 # reference's pyannote/speaker-diarization-3.1,
                 # whisperx/diarize.py:19) converted to Flax.
+                import os
+
                 from ..models.convert import load_wespeaker_resnet34
+                from ..models.pinned import verify_pinned
                 from .embed import NeuralSpeakerEmbedding
 
+                if os.path.isfile(checkpoint):
+                    verify_pinned(
+                        "wespeaker-voxceleb-resnet34-LM", checkpoint, strict=False
+                    )
                 net, variables, n_mels = load_wespeaker_resnet34(checkpoint)
                 embedder = NeuralSpeakerEmbedding(net, variables, n_mels=n_mels)
             else:

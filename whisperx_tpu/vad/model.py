@@ -174,8 +174,10 @@ class VadPipeline:
 
 # SHA256 of the pinned pyannote segmentation checkpoint the reference
 # downloads and verifies (whisperx/vad.py:18,46-49 — the hash is the URL's
-# path component).
-VAD_SEGMENTATION_SHA256 = "0b5b3216d60a2d32fc086b47ea8c67589aaeb26b7e07fcbe620d6d0b83e209ea"
+# path component). Canonical registry: models/pinned.py.
+from ..models.pinned import PINNED as _PINNED
+
+VAD_SEGMENTATION_SHA256 = _PINNED["pyannote-segmentation"]
 
 
 def verify_checkpoint_sha256(path: str, expected: Optional[str]) -> str:
