@@ -111,6 +111,16 @@ def main():
         from whisperx_tpu.models.configs import WAV2VEC2_BASE
 
         align_model = test_align_model("en", config=WAV2VEC2_BASE, dtype=jnp.bfloat16)
+        # r3 alignment-tax A/B knobs (benchmarks/ab_knobs.py align-* configs):
+        # BENCH_ALIGN_QUANT=int8 → weight-only int8 wav2vec2 encoder (lm_head
+        # stays fp); BENCH_ALIGN_BATCH widens the align batch.
+        if os.environ.get("BENCH_ALIGN_QUANT") == "int8":
+            from whisperx_tpu.models.wav2vec2 import quantize_wav2vec2
+
+            align_model.model, align_model.params = quantize_wav2vec2(
+                align_model.model, align_model.params
+            )
+        align_model.max_batch = int(os.environ.get("BENCH_ALIGN_BATCH", "8"))
         words = ("the quick brown fox jumps over the lazy dog and runs far away "
                  "while seven silent watchers record every single word spoken here ").split()
         text = " " + " ".join(words * 4)[:400]

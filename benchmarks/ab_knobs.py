@@ -42,11 +42,14 @@ CONFIGS = {
     # r3: alignment-tax knobs (BASELINE metric includes alignment; these
     # attack the ~19% it costs on top of decode-only)
     "align-w2v-int8": {"BENCH_ALIGN": "1", "BENCH_ALIGN_QUANT": "int8"},
-    "align-batch16": {"BENCH_ALIGN": "1", "BENCH_ALIGN_BATCH": "16"},
+    # batch 16 must widen BOTH stages (8 segments padded to 16 align rows
+    # would be pure waste).
+    "align-batch16": {"BENCH_ALIGN": "1", "BENCH_BATCH": "16", "BENCH_ALIGN_BATCH": "16"},
     "align-bucket2s": {"BENCH_ALIGN": "1", "WHISPERX_ALIGN_BUCKET_S": "2"},
     "align-combo": {
         "BENCH_ALIGN": "1",
         "BENCH_ALIGN_QUANT": "int8",
+        "BENCH_BATCH": "16",
         "BENCH_ALIGN_BATCH": "16",
     },
 }

@@ -102,3 +102,52 @@ def test_distil_configs():
     assert (c.n_audio_layer, c.n_text_layer, c.n_mels, c.n_vocab) == (32, 2, 128, 51866)
     assert get_whisper_config("distil-small.en").n_text_layer == 4
     assert get_whisper_config("distil-medium.en").n_vocab == 51864
+
+
+def test_quantized_wav2vec2_emissions_close_to_fp():
+    """int8 weight-only wav2vec2 (alignment path): encoder kernels int8,
+    lm_head stays fp, log-softmax emissions stay close to the fp model's."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisperx_tpu.models.configs import WAV2VEC2_TEST
+    from whisperx_tpu.models.wav2vec2 import (
+        Wav2Vec2ForCTC,
+        init_wav2vec2_params,
+        quantize_wav2vec2,
+    )
+
+    model, params = init_wav2vec2_params(WAV2VEC2_TEST, seed=0)
+    qmodel, qparams = quantize_wav2vec2(model, params)
+
+    # lm_head untouched; transformer kernels int8 with scales.
+    assert qparams["lm_head"]["kernel"].dtype == jnp.float32
+    assert qparams["layers_0"]["attention"]["q_proj"]["kernel"].dtype == jnp.int8
+    assert "kernel_scale" in qparams["layers_0"]["attention"]["q_proj"]
+    assert qparams["feat_projection"]["kernel"].dtype == jnp.int8
+    # conv front-end kernels (rank-3) stay fp.
+    assert qparams["feature_extractor"]["conv_0"]["kernel"].dtype == jnp.float32
+
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 4000)) * 0.1).astype(np.float32)
+    fp = jax.nn.log_softmax(model.apply({"params": params}, jnp.asarray(audio)), -1)
+    q = jax.nn.log_softmax(qmodel.apply({"params": qparams}, jnp.asarray(audio)), -1)
+    # Argmax path (what CTC alignment consumes) should essentially agree.
+    agree = float(np.mean(np.argmax(np.asarray(fp), -1) == np.argmax(np.asarray(q), -1)))
+    assert agree > 0.95, agree
+    np.testing.assert_allclose(np.asarray(q), np.asarray(fp), atol=0.35)
+
+
+def test_quantized_wav2vec2_alignment_recovers_times():
+    """The full align() path runs on the quantized model (device trellis)."""
+    from whisperx_tpu.align.alignment import align, test_align_model
+    from whisperx_tpu.models.wav2vec2 import quantize_wav2vec2
+
+    m = test_align_model("en")
+    m.model, m.params = quantize_wav2vec2(m.model, m.params)
+    meta = {"language": "en", "dictionary": m.dictionary, "type": "jax"}
+    audio = np.random.default_rng(0).standard_normal(16000).astype(np.float32) * 0.1
+    out = align(
+        [{"start": 0.0, "end": 1.0, "text": "ab"}], m, meta, audio, None
+    )
+    assert out["segments"], out

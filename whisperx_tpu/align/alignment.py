@@ -60,12 +60,15 @@ def load_align_model(
     device=None,
     model_name: Optional[str] = None,
     model_dir: Optional[str] = None,
+    compute_type: Optional[str] = None,
 ):
     """Build the alignment model + metadata (reference alignment.py:64-97 API).
 
     ``model_name`` may be a local HF checkpoint directory (offline), an HF hub
     id (resolved through the local cache), or a torchaudio bundle name (mapped
-    to its HF twin). Returns (AlignModel, {"language", "dictionary", "type"}).
+    to its HF twin). ``compute_type="int8"`` weight-only quantizes the
+    wav2vec2 transformer (emissions head stays fp — see quantize_wav2vec2).
+    Returns (AlignModel, {"language", "dictionary", "type"}).
     """
     if model_name is None:
         model_name = default_align_model(language_code)
@@ -74,6 +77,10 @@ def load_align_model(
     from ..models.convert import load_wav2vec2
 
     model, params, dictionary = load_wav2vec2(model_name, cache_dir=model_dir)
+    if compute_type == "int8":
+        from ..models.wav2vec2 import quantize_wav2vec2
+
+        model, params = quantize_wav2vec2(model, params)
     align_model = AlignModel(
         model=model,
         params=params,
@@ -217,8 +224,11 @@ def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
     results: List[Any] = [None] * len(slices)
 
     def bucket_len(n: int) -> int:
-        # Pad to the next multiple of 1 s (bounds distinct compile shapes).
-        return max(16000, -(-n // 16000) * 16000)
+        # Pad to the next multiple of WHISPERX_ALIGN_BUCKET_S seconds
+        # (default 1 s): bounds distinct compile shapes; coarser buckets
+        # trade padding FLOPs for fewer compile signatures.
+        b = int(float(os.environ.get("WHISPERX_ALIGN_BUCKET_S", "1")) * 16000)
+        return max(b, -(-n // b) * b)
 
     fwd = _emission_fwd(model)
 
@@ -347,8 +357,11 @@ def align(
         order = sorted(range(len(alignable)), key=lambda k: len(slices[k]))
 
         def bucket_len(n: int) -> int:
-            # Pad to the next multiple of 1 s (bounds distinct compile shapes).
-            return max(16000, -(-n // 16000) * 16000)
+            # Pad to the next multiple of WHISPERX_ALIGN_BUCKET_S seconds
+            # (default 1 s): bounds distinct compile shapes; coarser buckets
+            # trade padding FLOPs for fewer compile signatures.
+            b = int(float(os.environ.get("WHISPERX_ALIGN_BUCKET_S", "1")) * 16000)
+            return max(b, -(-n // b) * b)
 
         def consume(pending):
             idx, out = pending

@@ -82,13 +82,17 @@ class ConvPositionalEmbedding(nn.Module):
 class W2VAttention(nn.Module):
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
+        from .whisper import Dense
+
         d = self.config.hidden_size
-        self.q_proj = nn.Dense(d, dtype=self.dtype)
-        self.k_proj = nn.Dense(d, dtype=self.dtype)
-        self.v_proj = nn.Dense(d, dtype=self.dtype)
-        self.out_proj = nn.Dense(d, dtype=self.dtype)
+        q = self.quantized
+        self.q_proj = Dense(d, dtype=self.dtype, quantized=q)
+        self.k_proj = Dense(d, dtype=self.dtype, quantized=q)
+        self.v_proj = Dense(d, dtype=self.dtype, quantized=q)
+        self.out_proj = Dense(d, dtype=self.dtype, quantized=q)
 
     def __call__(self, x: Array, pad_mask: Optional[Array]) -> Array:
         cfg = self.config
@@ -114,10 +118,14 @@ class W2VAttention(nn.Module):
 class W2VFeedForward(nn.Module):
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
-        self.intermediate = nn.Dense(self.config.intermediate_size, dtype=self.dtype)
-        self.output = nn.Dense(self.config.hidden_size, dtype=self.dtype)
+        from .whisper import Dense
+
+        q = self.quantized
+        self.intermediate = Dense(self.config.intermediate_size, dtype=self.dtype, quantized=q)
+        self.output = Dense(self.config.hidden_size, dtype=self.dtype, quantized=q)
 
     def __call__(self, x: Array) -> Array:
         return self.output(nn.gelu(self.intermediate(x), approximate=False))
@@ -126,12 +134,13 @@ class W2VFeedForward(nn.Module):
 class W2VEncoderLayer(nn.Module):
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         cfg = self.config
-        self.attention = W2VAttention(cfg, dtype=self.dtype)
+        self.attention = W2VAttention(cfg, dtype=self.dtype, quantized=self.quantized)
         self.layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
-        self.feed_forward = W2VFeedForward(cfg, dtype=self.dtype)
+        self.feed_forward = W2VFeedForward(cfg, dtype=self.dtype, quantized=self.quantized)
         self.final_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
 
     def __call__(self, x: Array, pad_mask: Optional[Array]) -> Array:
@@ -149,16 +158,23 @@ class Wav2Vec2ForCTC(nn.Module):
 
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    # int8 weight-only mode for the transformer encoder (the alignment-path
+    # analogue of quantize_whisper). The lm_head emissions projection stays a
+    # plain fp Dense: CTC trellis scores are log-softmax over its output and
+    # keep full precision.
+    quantized: bool = False
 
     def setup(self):
+        from .whisper import Dense
+
         cfg = self.config
         self.feature_extractor = ConvFeatureExtractor(cfg, dtype=self.dtype)
         self.feat_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
-        self.feat_projection = nn.Dense(cfg.hidden_size, dtype=self.dtype)
+        self.feat_projection = Dense(cfg.hidden_size, dtype=self.dtype, quantized=self.quantized)
         self.pos_conv_embed = ConvPositionalEmbedding(cfg, dtype=self.dtype)
         self.encoder_layer_norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32)
         self.layers = [
-            W2VEncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")
+            W2VEncoderLayer(cfg, dtype=self.dtype, quantized=self.quantized, name=f"layers_{i}")
             for i in range(cfg.num_layers)
         ]
         self.lm_head = nn.Dense(cfg.vocab_size, dtype=self.dtype)
@@ -206,3 +222,19 @@ def init_wav2vec2_params(config: Wav2Vec2Config, seed: int = 0, dtype=jnp.float3
     audio = jnp.zeros((1, 4000), jnp.float32)
     params = model.init(jax.random.PRNGKey(seed), audio)["params"]
     return model, params
+
+
+def quantize_wav2vec2(model: Wav2Vec2ForCTC, params):
+    """(model, fp params) → (int8 weight-only model, quantized params).
+
+    Alignment-path analogue of ``quantize_whisper``: every transformer Dense
+    kernel becomes symmetric per-output-channel int8 (halving the weight HBM
+    reads of the 1500-frame encoder forward); conv kernels (rank-3) and the
+    ``lm_head`` emissions projection stay fp.
+    """
+    from .whisper import quantize_params
+
+    qmodel = Wav2Vec2ForCTC(model.config, dtype=model.dtype, quantized=True)
+    qparams = quantize_params(params, embedding_keys=())
+    qparams["lm_head"] = params["lm_head"]  # emissions head stays fp
+    return qmodel, qparams
