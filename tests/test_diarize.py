@@ -525,3 +525,22 @@ def test_pipeline_clustering_threshold_wired():
     assert one(audio)["speaker"].nunique() == 1
     one_legacy = DiarizationPipeline(clustering_threshold=1.99)
     assert one_legacy(audio)["speaker"].nunique() == 1
+
+
+def test_pipeline_segmentation_checkpoint_branch(tmp_path):
+    """DiarizationPipeline(segmentation_checkpoint=...) loads the converted
+    PyanNet into the overlap path (the CLI --vad_checkpoint route)."""
+    import warnings
+
+    from tests.test_real_checkpoints import write_synthetic_pyannet_ckpt
+
+    ckpt = write_synthetic_pyannet_ckpt(tmp_path / "segmentation.bin")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # synthetic ckpt != pinned digest
+        pipe = DiarizationPipeline(segmentation_checkpoint=str(ckpt))
+    assert pipe._overlap is not None
+    audio, _ = _two_simultaneous_speakers()
+    df = pipe(audio, max_speakers=2)
+    # Random weights give uninformative activities — assert the contract,
+    # not the quality: DataFrame columns and the overlap code path.
+    assert set(df.columns) >= {"segment", "label", "speaker", "start", "end"}

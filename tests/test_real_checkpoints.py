@@ -220,10 +220,10 @@ def test_real_wespeaker_checkpoint_chain():
 # ---------------------------------------------------------------------------
 
 
-def test_validation_chain_rehearsal(tmp_path):
-    # Synthetic pyannote-style segmentation checkpoint (real key layout:
-    # Lightning "state_dict" + "model." prefix + filterbank submodule).
-    rng = np.random.default_rng(3)
+def write_synthetic_pyannet_ckpt(path, seed: int = 3):
+    """Synthetic pyannote-style segmentation checkpoint (real key layout:
+    Lightning "state_dict" + "model." prefix + filterbank submodule)."""
+    rng = np.random.default_rng(seed)
 
     def t(*shape, scale=0.1):
         return torch.from_numpy((rng.standard_normal(shape) * scale).astype(np.float32))
@@ -263,9 +263,12 @@ def test_validation_chain_rehearsal(tmp_path):
     sd["linear.1.bias"] = t(128)
     sd["classifier.weight"] = t(3, 128)
     sd["classifier.bias"] = t(3)
+    torch.save({"state_dict": {f"model.{k}": v for k, v in sd.items()}}, path)
+    return path
 
-    seg_path = tmp_path / "segmentation.bin"
-    torch.save({"state_dict": {f"model.{k}": v for k, v in sd.items()}}, seg_path)
+
+def test_validation_chain_rehearsal(tmp_path):
+    seg_path = write_synthetic_pyannet_ckpt(tmp_path / "segmentation.bin")
     with pytest.warns(UserWarning, match="SHA256 mismatch"):
         _run_segmentation_chain(str(seg_path), strict=False)
 
