@@ -49,7 +49,7 @@ def build_bench_engine():
         "batch": int(os.environ.get("BENCH_BATCH", "8")),
         "beam": int(os.environ.get("BENCH_BEAM", "5")),
         "max_new": int(os.environ.get("BENCH_MAX_NEW", "112")),
-        "iters": int(os.environ.get("BENCH_ITERS", "3")),
+        "iters": int(os.environ.get("BENCH_ITERS", "5")),
         "kv": os.environ.get("BENCH_KV", "int8"),
         "quant": os.environ.get("BENCH_QUANT", "int8"),
         "fused_qkv": os.environ.get("BENCH_FUSED_QKV", "1") == "1",
@@ -149,15 +149,23 @@ def main():
     # back-to-back while the host consumes the previous batch. Per-iteration
     # blocking would instead measure host↔device round-trip latency (large
     # through the remote TPU relay) alongside compute.
+    #
+    # The recorded value is the MEDIAN per-batch interval rather than the
+    # mean: the relay adds ±5-10% one-off hiccups, and a single outlier
+    # iteration should not move the flagship number (VERDICT r2).
     t0 = time.perf_counter()
+    stamps = []
     prev = None
     for _ in range(iters):
         out = run(sync=False)
         if prev is not None:
             np.asarray(prev.tokens)  # consume (blocks until that batch is done)
+            stamps.append(time.perf_counter())
         prev = out
     np.asarray(prev.tokens)
-    dt = (time.perf_counter() - t0) / iters
+    stamps.append(time.perf_counter())
+    bounds = [t0] + stamps
+    dt = float(np.median([b - a for a, b in zip(bounds[:-1], bounds[1:])]))
 
     audio_seconds = batch * 30.0
     xrt = audio_seconds / dt

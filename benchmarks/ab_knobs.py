@@ -38,6 +38,9 @@ CONFIGS = {
     "cross-attn-pallas": {"WHISPERX_CROSS_ATTN": "pallas"},
     # align-path knobs (override BENCH_ALIGN back on)
     "align-base": {"BENCH_ALIGN": "1"},
+    # r3 transfer A/B: int16 PCM uploads (default) vs float32 — measures the
+    # relay host→device bandwidth saving on the combined metric.
+    "align-upload-f32": {"BENCH_ALIGN": "1", "WHISPERX_WAV_INT16": "0"},
     "align-attn-flash": {"BENCH_ALIGN": "1", "WHISPERX_ATTN": "flash"},
     # r3: alignment-tax knobs (BASELINE metric includes alignment; these
     # attack the ~19% it costs on top of decode-only)

@@ -291,3 +291,21 @@ def test_align_charwise_language():
     assert starts == sorted(starts) and len(starts) == 5
     # Segment text joins without spaces for charwise languages.
     assert all(" " not in seg["text"] for seg in out["segments"])
+
+
+def test_align_int16_uploads_match_f32(monkeypatch):
+    """The int16 upload path (default) and WHISPERX_WAV_INT16=0 produce the
+    same word timestamps on int16-grid audio (exact round-trip)."""
+    from whisperx_tpu.align.alignment import align, test_align_model
+
+    m = test_align_model("en")
+    meta = {"language": "en", "dictionary": m.dictionary, "type": "jax"}
+    rng = np.random.default_rng(3)
+    audio = (rng.integers(-3277, 3277, 32000).astype(np.float32) / 32768.0)
+    transcript = [{"start": 0.0, "end": 2.0, "text": "ab cd"}]
+
+    monkeypatch.setenv("WHISPERX_WAV_INT16", "1")
+    out16 = align([dict(s) for s in transcript], m, meta, audio, None)
+    monkeypatch.setenv("WHISPERX_WAV_INT16", "0")
+    out32 = align([dict(s) for s in transcript], m, meta, audio, None)
+    assert out16["word_segments"] == out32["word_segments"]

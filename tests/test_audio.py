@@ -132,3 +132,22 @@ def test_load_audio_stereo_downmix(tmp_path, rng):
         f.write(b"data" + struct.pack("<I", len(body)) + body)
     out = load_audio(str(path))
     np.testing.assert_allclose(out, (left + right) / 2, atol=1e-3)
+
+
+def test_log_mel_int16_input_matches_f32():
+    """Integer waveforms convert to float32/32768 on device: bit-exact for
+    s16le-grid audio (the reference's own decode contract, audio.py:44-61)."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.audio.io import pcm16
+    from whisperx_tpu.audio.mel import log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    # int16-grid audio: pcm16 round-trips exactly.
+    ints = rng.integers(-32768, 32768, (2, 480000)).astype(np.int16)
+    f32 = ints.astype(np.float32) / 32768.0
+    assert np.array_equal(pcm16(f32), ints)
+
+    mel_f = np.asarray(log_mel_spectrogram(jnp.asarray(f32)))
+    mel_i = np.asarray(log_mel_spectrogram(jnp.asarray(ints)))
+    np.testing.assert_array_equal(mel_i, mel_f)

@@ -165,3 +165,48 @@ def test_beam_matches_hf_generate_length_penalty_one():
     assert total == 20
     assert finished >= total // 2
     assert agree == total, f"beam mismatch vs HF generate: {agree}/{total}"
+
+
+def test_beam_matches_hf_generate_with_suppression():
+    """Token suppression semantics vs HF's SuppressTokensLogitsProcessor:
+    the same banned ids, applied as our static -inf mask, must yield the
+    same sequences (the reference suppresses via CT2's suppress_sequences,
+    whisperx/asr.py:58-61)."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.decode.search import SearchOptions
+
+    hf_model, engine, params = _build(vocab=100, seed=1)
+    banned = [7, 11, 49, 50, 51, 52, 53]  # 49 is the favorite token of seed-0
+    opts = SearchOptions(
+        beam_size=K, patience=1.0, length_penalty=0.0, max_new_tokens=MAX_NEW,
+        temperature=0.0, suppress_tokens=tuple(banned), suppress_blank=False,
+        blank_tokens=(), eot=1, banned_tokens=(),
+    )
+    rng = np.random.default_rng(5)
+    agree = total = 0
+    for _ in range(4):
+        mel = rng.standard_normal((3, 80, 64)).astype(np.float32) * 2.0
+        prompt = np.full((3, 1), 2, np.int32)
+        with torch.no_grad():
+            hf_seqs = hf_model.generate(
+                input_features=torch.from_numpy(mel),
+                decoder_input_ids=torch.from_numpy(prompt.astype(np.int64)),
+                num_beams=K, max_length=1 + MAX_NEW, length_penalty=0.0,
+                early_stopping=False, do_sample=False,
+                begin_suppress_tokens=None, suppress_tokens=banned,
+            ).numpy()
+        tokens = np.asarray(
+            engine.decode_beam(params, jnp.asarray(mel), jnp.asarray(prompt), opts)[0]
+        )
+        for b in range(3):
+            hf_gen = hf_seqs[b].tolist()
+            ours = tokens[b].tolist()
+            if 1 in hf_gen:
+                hf_gen = hf_gen[: hf_gen.index(1)]
+            if 1 in ours:
+                ours = ours[: ours.index(1)]
+            assert not set(ours) & set(banned)
+            total += 1
+            agree += hf_gen == ours
+    assert agree == total, f"{agree}/{total}"

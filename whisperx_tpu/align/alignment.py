@@ -162,11 +162,20 @@ def _emission_fwd(model):
     if fwd is None:
         fwd = jax.jit(
             lambda p, a, sl: jax.nn.log_softmax(
-                model.apply({"params": p}, a, sample_lengths=sl), axis=-1
+                model.apply({"params": p}, _wav_f32(a), sample_lengths=sl), axis=-1
             )
         )
         _EMISSION_FWD_CACHE[model] = fwd
     return fwd
+
+
+def _wav_f32(wavs):
+    """int16 device uploads → float32/32768 (trace-time dtype branch)."""
+    import jax.numpy as jnp
+
+    if jnp.issubdtype(wavs.dtype, jnp.integer):
+        return wavs.astype(jnp.float32) / 32768.0
+    return wavs
 
 
 _FUSED_ALIGN_CACHE: dict = {}
@@ -187,27 +196,39 @@ def _fused_align_fwd(model, blank: int, backend: str):
     if fwd is None:
 
         @jax.jit
-        def fwd(params, wavs, sample_lens, tokens, n_len):
+        def fwd(params, wavs, tok_pack):
             import jax.numpy as jnp
 
-            logits = model.apply({"params": params}, wavs, sample_lengths=sample_lens)
+            # tok_pack (B, N+2) int32 = [tokens | sample_len | n_len] — the
+            # three small inputs travel as ONE upload (each separate
+            # host→device transfer through a remote TPU relay pays a full
+            # ~25 ms round trip).
+            tokens = tok_pack[:, :-2]
+            sample_lens = tok_pack[:, -2]
+            n_len = tok_pack[:, -1]
+            logits = model.apply(
+                {"params": params}, _wav_f32(wavs), sample_lengths=sample_lens
+            )
             logp = jax.nn.log_softmax(logits, axis=-1)
             t_len = model.feature_lengths(sample_lens)
             tok_idx, probs, active, success, _t_start = ctc_align_batch_device(
                 logp, tokens, t_len, n_len, blank=blank, backend=backend
             )
-            # Pack into TWO output buffers: every device→host fetch through a
-            # remote TPU relay pays a full round trip (~27 ms measured), so
-            # six separate outputs would cost more in RTTs than the entire
-            # align device program. tok_idx < N and active ∈ {0,1} are exact
-            # in float32.
-            path_pack = jnp.stack(
+            # ONE output buffer (3, B, T'+1): plane 0 = token path index,
+            # plane 1 = probs, plane 2 = active mask, and the extra trailing
+            # column carries [success, t_len] — a single device→host fetch.
+            # tok_idx < N, active ∈ {0,1}, t_len ≤ T' are exact in float32.
+            pack = jnp.stack(
                 [tok_idx.astype(jnp.float32), probs, active.astype(jnp.float32)]
             )  # (3, B, T')
-            meta_pack = jnp.stack(
-                [success.astype(jnp.int32), t_len.astype(jnp.int32)]
-            )  # (2, B)
-            return path_pack, meta_pack
+            tail = jnp.stack(
+                [
+                    success.astype(jnp.float32),
+                    t_len.astype(jnp.float32),
+                    jnp.zeros_like(t_len, jnp.float32),
+                ]
+            )  # (3, B)
+            return jnp.concatenate([pack, tail[:, :, None]], axis=2)
 
         _FUSED_ALIGN_CACHE[key] = fwd
     return fwd
@@ -277,6 +298,14 @@ def align(
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     max_duration = len(audio) / SAMPLE_RATE
 
+    # Device uploads in int16 PCM: half the relay bytes per align batch
+    # (bit-exact for s16le-decoded audio; WHISPERX_WAV_INT16=0 opts out).
+    audio_up = audio
+    if os.environ.get("WHISPERX_WAV_INT16", "1") == "1":
+        from ..audio.io import pcm16
+
+        audio_up = pcm16(audio)
+
     dictionary = align_model_metadata["dictionary"]
     lang = align_model_metadata["language"]
     charwise = lang in LANGUAGES_WITHOUT_SPACES
@@ -307,7 +336,7 @@ def align(
             continue
         f1 = int(segment["start"] * SAMPLE_RATE)
         f2 = int(segment["end"] * SAMPLE_RATE)
-        wav = audio[f1:f2]
+        wav = audio_up[f1:f2]
         if len(wav) < 400:  # wav2vec2 minimum receptive field
             wav = np.pad(wav, (0, 400 - len(wav)))
         alignable.append(sdx)
@@ -365,12 +394,12 @@ def align(
 
         def consume(pending):
             idx, out = pending
-            path_pack = np.asarray(out[0])  # (3, B, T')
-            meta_pack = np.asarray(out[1])  # (2, B)
-            tok_idx = path_pack[0].astype(np.int32)
-            probs = path_pack[1]
-            active = path_pack[2] != 0.0
-            success, t_len = meta_pack[0] != 0, meta_pack[1]
+            pack = np.asarray(out)  # (3, B, T'+1) — ONE device→host fetch
+            tok_idx = pack[0, :, :-1].astype(np.int32)
+            probs = pack[1, :, :-1]
+            active = pack[2, :, :-1] != 0.0
+            success = pack[0, :, -1] != 0.0
+            t_len = pack[1, :, -1].astype(np.int32)
             T = tok_idx.shape[1]
             times = T - 1 - np.arange(T)
             for row, k in enumerate(idx):
@@ -391,24 +420,19 @@ def align(
             max_len = bucket_len(max(len(slices[k]) for k in idx))
             N_true = max(len(token_lists[k]) for k in idx)
             N = max(64, -(-N_true // 64) * 64)
-            wavs = np.zeros((B, max_len), np.float32)
-            lens = np.zeros((B,), np.int32)
-            tokens = np.zeros((B, N), np.int32)
-            n_len = np.ones((B,), np.int32)  # padding rows: 1 dummy token
-            tokens[:, 0] = model.blank_id or 1
+            wavs = np.zeros((B, max_len), audio_up.dtype)
+            # tok_pack = [tokens | sample_len | n_len]: one small upload.
+            tok_pack = np.zeros((B, N + 2), np.int32)
+            tok_pack[:, 0] = model.blank_id or 1
+            tok_pack[:, N + 1] = 1  # padding rows: 1 dummy token
             for row, k in enumerate(idx):
                 wavs[row, : len(slices[k])] = slices[k]
-                lens[row] = len(slices[k])
-                tokens[row, : len(token_lists[k])] = token_lists[k]
-                n_len[row] = len(token_lists[k])
-            lens = np.maximum(lens, 400)  # avoid zero-length conv edge on pad rows
-            out = fwd(
-                model.params,
-                jnp.asarray(wavs),
-                jnp.asarray(lens),
-                jnp.asarray(tokens),
-                jnp.asarray(n_len),
-            )
+                tok_pack[row, : len(token_lists[k])] = token_lists[k]
+                tok_pack[row, N] = len(slices[k])
+                tok_pack[row, N + 1] = len(token_lists[k])
+            # avoid zero-length conv edge on pad rows
+            tok_pack[:, N] = np.maximum(tok_pack[:, N], 400)
+            out = fwd(model.params, jnp.asarray(wavs), jnp.asarray(tok_pack))
             if in_flight is not None:
                 consume(in_flight)
             in_flight = (idx, out)

@@ -205,3 +205,15 @@ def pad_or_trim(array, length: int | None = None, *, axis: int = -1):
 
         return jnp.pad(array, pad_widths)
     return array
+
+
+def pcm16(audio: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] → int16 PCM for half-size device uploads.
+
+    Audio decoded through the s16le contract (reference audio.py:44-61: ffmpeg
+    pipes s16le, /32768) lies exactly on the int16 grid, so this round-trips
+    bit-exactly; synthetic float audio quantizes at -90 dB. Device-side code
+    (log_mel_spectrogram, the wav2vec2 forwards) converts integer inputs back
+    to float32/32768 inside the jit.
+    """
+    return np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)

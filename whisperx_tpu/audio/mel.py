@@ -99,9 +99,12 @@ def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80, padding: int = 0) ->
     """Compute Whisper log-mel features on device.
 
     Args:
-      audio: float32 waveform, shape (n_samples,) or (batch, n_samples). The
-        sample count must be a static multiple of HOP_LENGTH (pad on host with
-        `pad_or_trim`; the standard path always feeds exactly 30 s = 480000).
+      audio: waveform, shape (n_samples,) or (batch, n_samples). float32 in
+        [-1, 1], or int16 PCM — integer inputs are converted to float32/32768
+        on device (the relay upload is then half the bytes; audio decoded via
+        the s16le contract round-trips exactly). The sample count must be a
+        static multiple of HOP_LENGTH (pad on host with `pad_or_trim`; the
+        standard path always feeds exactly 30 s = 480000).
       n_mels: 80 (most models) or 128 (large-v3).
       padding: zero samples appended before the STFT (reference parity knob).
 
@@ -111,7 +114,10 @@ def log_mel_spectrogram(audio: jax.Array, n_mels: int = 80, padding: int = 0) ->
     """
     squeeze = audio.ndim == 1
     x = audio[None, :] if squeeze else audio
-    x = x.astype(jnp.float32)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        x = x.astype(jnp.float32) / 32768.0
+    else:
+        x = x.astype(jnp.float32)
     if padding > 0:
         x = jnp.pad(x, ((0, 0), (0, padding)))
 

@@ -53,12 +53,11 @@ class SearchOptions:
     # of beam decode at negligible accuracy cost.
     kv_cache_dtype: str = "model"
     # Cross-attention impl for decode: "auto" → XLA einsum with the
-    # scale-commuting int8 epilogue. A/B'd against the fused Pallas kernel in
-    # r2 at the flagship shape — XLA won 3/3 paired runs (138.6x vs 135.3x
-    # mean): XLA fuses the dequant epilogue and pipelines weight streaming
-    # better than the per-layer kernel launches. (Those r2 runs were ad hoc
-    # and not checked in; the cross-attn-xla/cross-attn-pallas configs in
-    # benchmarks/ab_knobs.py re-record them into AB_RESULTS.json.) The kernel
+    # scale-commuting int8 epilogue. A/B'd against the fused Pallas kernel at
+    # the flagship shape — XLA wins (r3 recorded runs: 138.47x vs 135.07x,
+    # benchmarks/AB_RESULTS.json cross-attn-xla/cross-attn-pallas; the r2
+    # paired runs agreed 3/3): XLA fuses the dequant epilogue and pipelines
+    # weight streaming better than the per-layer kernel launches. The kernel
     # stays available via WHISPERX_CROSS_ATTN=pallas.
     cross_attn: str = "auto"
     # Candidate-selection impl for the per-step (B, K*V) top-2K: "exact" →

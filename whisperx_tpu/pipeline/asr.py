@@ -154,7 +154,13 @@ class WhisperPipeline:
         ), engine
 
     def _feature_batches(self, audio: np.ndarray, chunks: List[dict], batch_size: int):
-        """Yield (mel_batch (B, n_mels, 3000), n_valid) fixed-shape batches."""
+        """Yield (mel_batch (B, n_mels, 3000), n_valid) fixed-shape batches.
+
+        ``audio`` may be float32 or int16 PCM (see ``_device_audio``): the
+        waveform batch is uploaded in the audio's dtype — int16 halves the
+        dominant host→device transfer through a TPU relay — and the mel
+        front-end converts integers back to float32/32768 on device.
+        """
         import jax.numpy as jnp
 
         from ..audio.mel import log_mel_spectrogram
@@ -162,7 +168,7 @@ class WhisperPipeline:
         n_mels = self.engine.config.n_mels
         for i in range(0, len(chunks), batch_size):
             batch = chunks[i : i + batch_size]
-            wavs = np.zeros((batch_size, N_SAMPLES), np.float32)
+            wavs = np.zeros((batch_size, N_SAMPLES), audio.dtype)
             for row, seg in enumerate(batch):
                 f1 = int(seg["start"] * SAMPLE_RATE)
                 f2 = int(seg["end"] * SAMPLE_RATE)
@@ -206,6 +212,10 @@ class WhisperPipeline:
         with self.telemetry.stage("vad", audio_seconds=total_audio):
             vad_segments = self.vad_model(audio, chunk_size=chunk_size)
 
+        # Device uploads in int16 PCM (half the relay bytes; exact for
+        # s16le-decoded audio). WHISPERX_WAV_INT16=0 keeps float32 uploads.
+        audio_dev = _device_audio(audio)
+
         # Lazy tokenizer (re)build — reference semantics (asr.py:193-205).
         if self.tokenizer is None:
             language = language or self.detect_language(audio)
@@ -247,7 +257,7 @@ class WhisperPipeline:
         total_audio_s = sum(s["end"] - s["start"] for s in vad_segments)
         with self.telemetry.stage("asr_decode", audio_seconds=total_audio_s):
             in_flight = None
-            for mel, n_valid in self._feature_batches(audio, vad_segments, batch_size):
+            for mel, n_valid in self._feature_batches(audio_dev, vad_segments, batch_size):
                 with self._mesh_scope():
                     result = engine.generate(
                         self.params, mel, options=search_opts,
@@ -264,7 +274,7 @@ class WhisperPipeline:
 
         if self.options.enable_fallback:
             texts = self._temperature_fallback(
-                engine, search_opts, audio, vad_segments, texts, avg_lps, no_speech, batch_size
+                engine, search_opts, audio_dev, vad_segments, texts, avg_lps, no_speech, batch_size
             )
 
         segments: List[SingleSegment] = []
@@ -364,7 +374,7 @@ class WhisperPipeline:
 
         if audio.shape[0] < N_SAMPLES:
             print("Warning: audio is shorter than 30s, language detection may be inaccurate.")
-        clip = pad_or_trim(audio[:N_SAMPLES])
+        clip = pad_or_trim(_device_audio(np.asarray(audio, np.float32))[:N_SAMPLES])
         # Tile the single clip over the mesh's data axis (fixed shapes).
         rows = np.tile(clip[None], (self._data_granule(), 1))
         if self.mesh is not None:
@@ -380,6 +390,24 @@ class WhisperPipeline:
             (language, prob) = self.engine.detect_language(self.params, mel)[0]
         print(f"Detected language: {language} ({prob:.2f}) in first 30s of audio...")
         return language
+
+
+def _device_audio(audio: np.ndarray) -> np.ndarray:
+    """Waveform as uploaded to the device: int16 PCM by default.
+
+    Halves the host→device bytes of every chunk batch (the single largest
+    relay transfer: ~15 MB f32 per batch of 8×30 s, ~180 ms measured);
+    bit-exact for s16le-decoded audio (the reference's own decode contract,
+    whisperx/audio.py:44-61). WHISPERX_WAV_INT16=0 restores float32 uploads.
+    """
+    import os
+
+    from ..audio.io import pcm16
+
+    if os.environ.get("WHISPERX_WAV_INT16", "1") == "1":
+        return pcm16(audio)
+    return audio
+
 
 
 def numeral_symbol_tokens(tokenizer: WhisperTokenizer) -> list[int]:
