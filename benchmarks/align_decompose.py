@@ -82,8 +82,11 @@ def main():
     )
     t_ctc = timed(ctc_fn, logp)
 
+    # The fused path takes ONE packed (B, N+2) int32 side input:
+    # [tokens | sample_len | n_len] (see _fused_align_fwd).
+    tok_pack = jnp.concatenate([tokens, lens[:, None], n_len[:, None]], axis=1)
     fused = _fused_align_fwd(m.model, 0, backend)
-    t_fused = timed(fused, m.params, wavs, lens, tokens, n_len)
+    t_fused = timed(fused, m.params, wavs, tok_pack)
 
     print(
         json.dumps(

@@ -27,6 +27,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # A persistent-cache hit returns an executable whose as_text() is a stub
+    # (no optimized HLO to parse) — force a real compile for this dump.
+    jax.config.update("jax_enable_compilation_cache", False)
+
     from bench import build_bench_engine
 
     engine, params, opts, cfg, knobs = build_bench_engine()
@@ -60,19 +64,53 @@ def main():
             for _ in range(cfg.n_text_layer)
         ]
 
-    step = engine._step_fn(params, cross)
     tokens = jnp.zeros((B * K, 1), jnp.int32)
     pos = jnp.int32(4)
 
-    lowered = jax.jit(step).lower(tokens, self_cache, pos)
+    # params/cross as jit ARGUMENTS: closing over them bakes the weights into
+    # the HLO as constants, which exceeds the remote-compile relay's request
+    # body limit (HTTP 413) on large models.
+    def step(params, cross, tokens, cache, pos):
+        return engine._step_fn(params, cross)(tokens, cache, pos)
+
+    lowered = jax.jit(step).lower(params, cross, tokens, self_cache, pos)
     compiled = lowered.compile()
     text = compiled.as_text()
 
     ops = collections.Counter()
+    # Output-buffer bytes by opcode + the largest single instructions: with a
+    # bandwidth-bound step, whichever opcodes WRITE the most bytes are the
+    # traffic (reads show up as some earlier op's writes or parameters).
+    DT_BYTES = {
+        "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
+        "pred": 1, "s16": 2, "u16": 2, "f64": 8, "s64": 8, "u64": 8, "s4": 0.5,
+    }
+
+    def shape_bytes(sh: str) -> float:
+        total = 0.0
+        for m in re.finditer(r"(\w+)\[([\d,]*)\]", sh):
+            dt, dims = m.group(1), m.group(2)
+            if dt not in DT_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * DT_BYTES[dt]
+        return total
+
+    op_bytes = collections.Counter()
+    insts = []
     for line in text.splitlines():
-        m = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = \S+ ([a-z0-9\-]+)\(", line)
+        m = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) = (\(?[\w\[\],{}\s/#*]*?\)?) ([a-z0-9\-]+)\(", line)
         if m:
-            ops[m.group(1)] += 1
+            name, sh, op = m.groups()
+            ops[op] += 1
+            b = shape_bytes(sh)
+            op_bytes[op] += b
+            if op not in ("parameter", "constant", "get-tuple-element", "bitcast", "tuple"):
+                insts.append((b, op, name))
+    insts.sort(reverse=True)
     # Standalone converts of large int8 operands (dequants that did not fuse).
     big_converts = [
         ln.strip()[:140]
@@ -90,6 +128,12 @@ def main():
                 "backend": jax.default_backend(),
                 "fusion_count": ops.get("fusion", 0),
                 "top_ops": ops.most_common(12),
+                "bytes_by_op_gb": {
+                    k: round(v / 1e9, 3) for k, v in op_bytes.most_common(12)
+                },
+                "top_insts_mb": [
+                    [round(b / 1e6, 1), op, name] for b, op, name in insts[:15]
+                ],
                 "standalone_big_dequants": len(big_converts),
                 "cost": cost,
             },

@@ -309,3 +309,26 @@ def test_align_int16_uploads_match_f32(monkeypatch):
     monkeypatch.setenv("WHISPERX_WAV_INT16", "0")
     out32 = align([dict(s) for s in transcript], m, meta, audio, None)
     assert out16["word_segments"] == out32["word_segments"]
+
+
+def test_strided_conv_matmul_matches_conv_lowering():
+    """The framed-matmul feature-extractor path (TPU default; see
+    models/wav2vec2.StridedConv1D) is numerically the same conv — both impls
+    must agree on every layer geometry of the wav2vec2 stack (kernel 10/3/2,
+    stride 5/2/2, Cin 1/512)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisperx_tpu.models.wav2vec2 import StridedConv1D
+
+    rng = np.random.default_rng(0)
+    for cin, k, s, t in [(1, 10, 5, 1600), (512, 3, 2, 99), (512, 2, 2, 100)]:
+        x = jnp.asarray(rng.standard_normal((2, t, cin)), jnp.float32)
+        conv = StridedConv1D(32, k, s, use_bias=True, dtype=jnp.float32, impl="conv")
+        params = conv.init(jax.random.PRNGKey(0), x)
+        y_conv = conv.apply(params, x)
+        y_mm = StridedConv1D(32, k, s, use_bias=True, dtype=jnp.float32, impl="matmul").apply(
+            params, x
+        )
+        assert y_conv.shape == y_mm.shape == (2, (t - k) // s + 1, 32)
+        np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_mm), rtol=2e-5, atol=2e-5)

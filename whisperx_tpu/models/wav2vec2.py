@@ -26,6 +26,76 @@ Array = jax.Array
 NEG_MASK = -1e9
 
 
+def _conv_impl(pref: str) -> str:
+    """Resolve the feature-extractor conv impl ("auto" → native conv).
+
+    A/B'd on chip (benchmarks/AB_RESULTS.json conv-impl-*): the framed-matmul
+    path timed 78.7 ms vs the native lowering's 72.8 ms for the batch-8x30s
+    conv stack — within relay noise, no win — so "auto" stays on XLA's conv
+    and the matmul path remains an opt-in probe. WHISPERX_CONV_IMPL=
+    conv|matmul overrides (read at trace time, like the other decode knobs)."""
+    import os
+
+    env = os.environ.get("WHISPERX_CONV_IMPL", "")
+    if env in ("conv", "matmul"):
+        return env
+    if pref != "auto":
+        return pref
+    return "conv"
+
+
+class StridedConv1D(nn.Module):
+    """VALID-padding strided 1-D conv with an MXU-friendly framed-matmul path.
+
+    The param tree is identical to ``flax.linen.Conv`` (kernel (k, Cin, Cout),
+    bias (Cout,)) so the HF checkpoint converter and existing checkpoints are
+    untouched. ``impl``:
+
+    - "conv": ``lax.conv_general_dilated`` — XLA's native lowering.
+    - "matmul": frame the input into (B, T', k, Cin) windows via k strided
+      slices and contract with the kernel in ONE ``dot_general`` — every
+      layer becomes a plain matmul the MXU tiles well.
+    - "auto": the native conv (the on-chip A/B found the two equal within
+      relay noise — see ``_conv_impl``).
+    """
+
+    features: int
+    kernel: int
+    stride: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # (B, T, Cin) -> (B, T', Cout)
+        k, s = self.kernel, self.stride
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, cin, self.features), jnp.float32
+        )
+        x = x.astype(self.dtype)
+        w = kernel.astype(self.dtype)
+        if _conv_impl(self.impl) == "conv":
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=(s,), padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+        else:
+            t_out = (x.shape[1] - k) // s + 1
+            # frames[b, t, j, c] = x[b, t*s + j, c]: the j-th strided slice is
+            # the j-th in-window column of every output frame.
+            cols = [
+                jax.lax.slice_in_dim(x, j, j + (t_out - 1) * s + 1, stride=s, axis=1)
+                for j in range(k)
+            ]
+            frames = jnp.stack(cols, axis=2)  # (B, T', k, Cin)
+            y = jax.lax.dot_general(frames, w, (((2, 3), (0, 1)), ((), ())))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvFeatureExtractor(nn.Module):
     """Strided 1-D conv stack: raw 16 kHz audio → 512-d frames @ 50 Hz."""
 
@@ -37,11 +107,10 @@ class ConvFeatureExtractor(nn.Module):
         cfg = self.config
         x = audio[:, :, None].astype(self.dtype)  # (B, T, 1)
         for i, (dim, kernel, stride) in enumerate(cfg.conv_layers):
-            x = nn.Conv(
+            x = StridedConv1D(
                 dim,
-                kernel_size=(kernel,),
-                strides=(stride,),
-                padding="VALID",
+                kernel,
+                stride,
                 use_bias=cfg.conv_bias,
                 dtype=self.dtype,
                 name=f"conv_{i}",
