@@ -317,8 +317,9 @@ class MultiHeadAttention(nn.Module):
         x: Array,  # (B, T_q, D)
         *,
         mask: Optional[Array] = None,  # additive, broadcastable to (B,H,Tq,Tkv)
-        cache: Optional[dict] = None,  # {"k","v"} (B, T_cache, H, Dh)
+        cache: Optional[dict] = None,  # {"k","v"} STACKED (L, B, T_cache, H, Dh)
         cache_index: Optional[Array] = None,
+        cache_layer: int = 0,  # static layer index into the stacked cache
         precomputed_kv: Optional[tuple] = None,
     ):
         head_dim = self.d_model // self.n_head
@@ -375,9 +376,10 @@ class MultiHeadAttention(nn.Module):
             # STACKED cache: every buffer is (L, B, T, H, Dh) holding all
             # layers, and `cache_layer` (a static int) selects this layer's
             # slab. One big buffer per tensor kind keeps the beam-search
-            # reorder a SINGLE large gather over axis 1 (search.py) instead
-            # of 4*L small per-layer gathers — the difference between ~20%
-            # and near-peak HBM efficiency on the hottest per-step copy.
+            # reorder a SINGLE large gather over axis 1 (search.py
+            # _gather_cache) instead of 4*L small per-layer gathers — the
+            # difference between ~20% and near-peak HBM efficiency on the
+            # hottest per-step copy.
             i = cache_layer
             at = (i, 0, cache_index, 0, 0)
             if cache["k"].dtype == jnp.int8:
@@ -530,12 +532,13 @@ class DecoderBlock(nn.Module):
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
 
-    def __call__(self, x, *, self_cache, cache_index, cross_kv, self_mask):
+    def __call__(self, x, *, self_cache, cache_index, cache_layer, cross_kv, self_mask):
         h, new_self_cache = self.attn(
             self.attn_ln(x).astype(self.dtype),
             mask=self_mask,
             cache=self_cache,
             cache_index=cache_index,
+            cache_layer=cache_layer,
         )
         x = x + h
         h, _ = self.cross_attn(
@@ -614,21 +617,25 @@ class TextDecoder(nn.Module):
         # Causal mask against the static cache: query at absolute position
         # cache_index + t sees cache slots [0, cache_index + t]. The cache may
         # be shorter than n_text_ctx (sized to prompt+max_new by the engine).
-        cache_len = cache["self"][0]["k"].shape[1]
+        # Self-cache buffers are STACKED (L, B, T, H, Dh): one buffer per
+        # tensor kind for all layers, threaded whole through the blocks (each
+        # block dynamic-update-slices its own layer-`i` slab in place).
+        cache_len = cache["self"]["k"].shape[2]
         q_pos = cache_index + jnp.arange(T)[:, None]
         k_pos = jnp.arange(cache_len)[None, :]
         self_mask = jnp.where(k_pos <= q_pos, 0.0, NEG_MASK).astype(jnp.float32)
 
-        new_cache = {"self": [], "cross": cache["cross"]}
+        self_cache = cache["self"]
         for i, block in enumerate(self.layers):
-            x, new_self = block(
+            x, self_cache = block(
                 x,
-                self_cache=cache["self"][i],
+                self_cache=self_cache,
                 cache_index=cache_index,
+                cache_layer=i,
                 cross_kv=cache["cross"][i],
                 self_mask=self_mask,
             )
-            new_cache["self"].append(new_self)
+        new_cache = {"self": self_cache, "cross": cache["cross"]}
 
         x = self.ln(x)
         logits = jnp.einsum(
@@ -697,27 +704,30 @@ class Whisper(nn.Module):
     def empty_cache(self, batch: int, cache_dtype: Any = None, cache_len: int = 0) -> Cache:
         """Zeroed self-attention cache. ``cache_len`` trims the buffer below
         n_text_ctx (prompt+max_new); ``cache_dtype=jnp.int8`` adds per-token
-        scale planes and halves cache HBM traffic."""
+        scale planes and halves cache HBM traffic.
+
+        The "self" entry is a single dict of STACKED (L, B, T, H, Dh)
+        buffers covering all layers, so the beam-search reorder is one large
+        axis-1 gather per tensor kind instead of 4*L small per-layer
+        gathers. "cross" stays a per-layer list (filled by the engine)."""
         cfg = self.config
         dt = cache_dtype or self.dtype
         head_dim = cfg.n_text_state // cfg.n_text_head
-        shape = (batch, cache_len or cfg.n_text_ctx, cfg.n_text_head, head_dim)
+        L = cfg.n_text_layer
+        shape = (L, batch, cache_len or cfg.n_text_ctx, cfg.n_text_head, head_dim)
 
-        def one_layer():
-            if dt == jnp.int8:
-                sshape = shape[:-1] + (1,)
-                return {
-                    "k": jnp.zeros(shape, jnp.int8),
-                    "v": jnp.zeros(shape, jnp.int8),
-                    "k_scale": jnp.zeros(sshape, jnp.float32),
-                    "v_scale": jnp.zeros(sshape, jnp.float32),
-                }
-            return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+        if dt == jnp.int8:
+            sshape = shape[:-1] + (1,)
+            stacked = {
+                "k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "k_scale": jnp.zeros(sshape, jnp.float32),
+                "v_scale": jnp.zeros(sshape, jnp.float32),
+            }
+        else:
+            stacked = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
-        return {
-            "self": [one_layer() for _ in range(cfg.n_text_layer)],
-            "cross": [None] * cfg.n_text_layer,
-        }
+        return {"self": stacked, "cross": [None] * L}
 
 
 def random_params_like(shapes, seed: int = 0, scale: float = 0.02):
