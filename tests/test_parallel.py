@@ -150,3 +150,55 @@ def test_pipeline_transcribe_mesh_tp_and_language_detect():
     out = pipe.transcribe(audio, batch_size=4)
     assert out["language"]
     assert len(out["segments"]) > 0
+
+
+def test_align_mesh_matches_single_device():
+    """Forced alignment over a DP mesh reproduces the single-device word
+    timestamps exactly (per-row programs are independent; rows shard on
+    "data"). Reference bar: none — whisperx/alignment.py is single-device
+    (its own TODO at alignment.py:215)."""
+    from whisperx_tpu.align.alignment import align, shard_align_model, test_align_model
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal(20 * sr) * 0.1).astype(np.float32)
+    amodel = test_align_model("en", seed=0)
+    meta = {"language": "en", "dictionary": amodel.dictionary, "type": "jax"}
+    transcript = [
+        {"start": 0.5, "end": 9.5, "text": "hello world this is a test"},
+        {"start": 10.0, "end": 19.5, "text": "seven silent watchers record"},
+    ]
+    base = align([dict(s) for s in transcript], amodel, meta, audio)
+
+    mesh = make_mesh(n_model=2)  # (4, 2): rows shard over data, w2v2 TP rules
+    amodel_mesh = shard_align_model(amodel, mesh)
+    assert amodel_mesh.max_batch % 4 == 0
+    sharded = align([dict(s) for s in transcript], amodel_mesh, meta, audio)
+
+    key = lambda r: [
+        (w.get("word"), w.get("start"), w.get("end"), w.get("score"))
+        for w in r["word_segments"]
+    ]
+    assert key(base) == key(sharded)
+    assert len(key(base)) > 0
+
+
+def test_diarize_mesh_matches_single_device():
+    """DiarizationPipeline window batches run data-parallel under a mesh and
+    reproduce the single-device turn list exactly."""
+    from whisperx_tpu.diarize import DiarizationPipeline
+
+    sr = 16000
+    t = np.arange(40 * sr) / sr
+    audio = np.where(
+        (t // 5).astype(np.int64) % 2 == 0,
+        0.3 * np.sin(2 * np.pi * 180 * t),
+        0.3 * np.sin(2 * np.pi * 1400 * t),
+    ).astype(np.float32)
+
+    base = DiarizationPipeline()(audio, min_speakers=2, max_speakers=2)
+    mesh = make_mesh()  # (8, 1)
+    sharded = DiarizationPipeline(mesh=mesh)(audio, min_speakers=2, max_speakers=2)
+
+    assert len(sharded) > 0
+    assert sharded[["start", "end", "speaker"]].equals(base[["start", "end", "speaker"]])

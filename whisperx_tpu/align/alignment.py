@@ -46,6 +46,30 @@ class AlignModel:
     language: str
     blank_id: int = 0
     max_batch: int = 8
+    # Optional jax.sharding.Mesh: align batches run data-parallel over the
+    # "data" axis (rows sharded, params placed by W2V2 partition rules). The
+    # reference has no distributed alignment at all (whisperx/alignment.py
+    # runs segment-by-segment on one device, its TODO at alignment.py:215).
+    mesh: Any = None
+
+
+def shard_align_model(align_model: AlignModel, mesh) -> AlignModel:
+    """Return a copy of the align model placed on a (data, model) mesh.
+
+    Params shard by the wav2vec2 tensor-parallel rules (replicated wherever
+    a dim does not divide the "model" axis); align() then shards each fixed
+    batch's rows over "data" and runs the fused program under the mesh, so
+    pjit emits the collectives.
+    """
+    from dataclasses import replace as _replace
+
+    from ..parallel import W2V2_RULES, shard_params
+
+    params = shard_params(align_model.params, mesh, rules=W2V2_RULES)
+    # Round the batch up to a data-axis multiple so rows tile the mesh.
+    n_data = int(mesh.devices.shape[0])
+    max_batch = -(-align_model.max_batch // n_data) * n_data
+    return _replace(align_model, params=params, mesh=mesh, max_batch=max_batch)
 
 
 def _find_blank_id(dictionary: dict) -> int:
@@ -266,7 +290,17 @@ def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
             wavs[row, : len(slices[j])] = slices[j]
             lens[row] = len(slices[j])
         lens = np.maximum(lens, 400)  # avoid zero-length conv edge on pad rows
-        logp = np.asarray(fwd(params, jnp.asarray(wavs), jnp.asarray(lens)))
+        if align_model.mesh is not None:
+            import jax
+
+            from ..parallel import shard_batch
+
+            with jax.set_mesh(align_model.mesh):
+                logp = np.asarray(
+                    fwd(params, shard_batch(align_model.mesh, wavs), shard_batch(align_model.mesh, lens))
+                )
+        else:
+            logp = np.asarray(fwd(params, jnp.asarray(wavs), jnp.asarray(lens)))
         frame_lens = np.asarray(model.feature_lengths(jnp.asarray(lens)))
         for row, j in enumerate(batch_idx):
             results[j] = (logp[row], int(frame_lens[row]))
@@ -432,7 +466,19 @@ def align(
                 tok_pack[row, N + 1] = len(token_lists[k])
             # avoid zero-length conv edge on pad rows
             tok_pack[:, N] = np.maximum(tok_pack[:, N], 400)
-            out = fwd(model.params, jnp.asarray(wavs), jnp.asarray(tok_pack))
+            if model.mesh is not None:
+                import jax
+
+                from ..parallel import shard_batch
+
+                with jax.set_mesh(model.mesh):
+                    out = fwd(
+                        model.params,
+                        shard_batch(model.mesh, wavs),
+                        shard_batch(model.mesh, tok_pack),
+                    )
+            else:
+                out = fwd(model.params, jnp.asarray(wavs), jnp.asarray(tok_pack))
             if in_flight is not None:
                 consume(in_flight)
             in_flight = (idx, out)

@@ -118,12 +118,13 @@ class NeuralSpeakerEmbedding:
     signature (minutes each on a remote TPU relay).
     """
 
-    def __init__(self, model: nn.Module, variables, n_mels: int = 80):
+    def __init__(self, model: nn.Module, variables, n_mels: int = 80, mesh=None):
         from ..audio.fbank import kaldi_fbank
 
         self.model = model
         self.variables = variables  # {"params": ..., "batch_stats": ...}
         self.n_mels = n_mels
+        self.mesh = mesh  # data-parallel window batches when set
 
         def fwd(variables, wavs):
             feats = kaldi_fbank(wavs, num_mel_bins=self.n_mels)
@@ -134,6 +135,12 @@ class NeuralSpeakerEmbedding:
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:  # (B, T) -> (B, D)
         B = windows.shape[0]
+        if self.mesh is not None:
+            from ..parallel import pad_rows_to_mesh
+
+            wavs = pad_rows_to_mesh(self.mesh, windows)
+            with jax.set_mesh(self.mesh):
+                return np.asarray(self._fwd(self.variables, wavs))[:B]
         padded = np.zeros((_bucket_rows(B), windows.shape[1]), windows.dtype)
         padded[:B] = windows
         return np.asarray(self._fwd(self.variables, jnp.asarray(padded)))[:B]
@@ -157,8 +164,17 @@ _melstats_fwd_jit = jax.jit(_melstats_fwd)
 class MelStatsEmbedding:
     """Weight-free embedding: log-mel moments + deltas, L2-normalized."""
 
+    def __init__(self, mesh=None):
+        self.mesh = mesh  # data-parallel window batches when set
+
     def __call__(self, windows: np.ndarray) -> np.ndarray:
         B = windows.shape[0]
+        if self.mesh is not None:
+            from ..parallel import pad_rows_to_mesh
+
+            wavs = pad_rows_to_mesh(self.mesh, windows)
+            with jax.set_mesh(self.mesh):
+                return np.asarray(_melstats_fwd_jit(wavs))[:B]
         padded = np.zeros((_bucket_rows(B), windows.shape[1]), windows.dtype)
         padded[:B] = windows
         return np.asarray(_melstats_fwd_jit(jnp.asarray(padded)))[:B]

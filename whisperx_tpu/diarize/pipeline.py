@@ -70,6 +70,7 @@ class DiarizationPipeline:
         segmentation=None,
         segmentation_checkpoint: Optional[str] = None,
         clustering_threshold: float = 0.7,
+        mesh=None,
     ):
         if embedder is None:
             if checkpoint:
@@ -114,6 +115,14 @@ class DiarizationPipeline:
 
             segmentation = NeuralSegmentation(seg_model, seg_params)
         self.segmentation = segmentation
+        # Data-parallel mesh: window batches of the embedder and the
+        # segmentation scorer shard over the "data" axis (the reference's
+        # pyannote pipeline is strictly single-device, whisperx/diarize.py:19).
+        self.mesh = mesh
+        if mesh is not None:
+            for stage in (self.embedder, self.segmentation):
+                if stage is not None and hasattr(stage, "mesh"):
+                    stage.mesh = mesh
         self._overlap = None
         if segmentation is not None:
             from .segmentation import OverlapDiarizer

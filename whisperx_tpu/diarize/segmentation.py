@@ -50,19 +50,27 @@ class NeuralSegmentation:
     mono VAD score.
     """
 
-    def __init__(self, model, params):
+    def __init__(self, model, params, mesh=None):
         import jax
 
         self.model = model
         self.params = params
+        self.mesh = mesh  # data-parallel window batches when set
         self._forward = jax.jit(lambda p, w: self.model.apply({"params": p}, w))
 
     def __call__(self, windows: np.ndarray) -> np.ndarray:  # (W, T) -> (W, T', C)
+        import jax
         import jax.numpy as jnp
 
         from ..utils import bucket_rows
 
         W = windows.shape[0]
+        if self.mesh is not None:
+            from ..parallel import pad_rows_to_mesh
+
+            wavs = pad_rows_to_mesh(self.mesh, windows)
+            with jax.set_mesh(self.mesh):
+                return np.asarray(self._forward(self.params, wavs))[:W]
         W_pad = bucket_rows(W)
         if W_pad != W:
             windows = np.concatenate(

@@ -51,3 +51,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch onto the mesh, sharded along the data axis."""
     return jax.device_put(batch, data_sharding(mesh))
+
+
+def pad_rows_to_mesh(mesh: Mesh, rows, granule: int = 8):
+    """Pad (B, ...) host rows to a data-axis-divisible granule and shard.
+
+    Used by the align/diarize stages to run their fixed-shape window/segment
+    batches data-parallel: the row count rounds up to lcm(granule, n_data)
+    (zero rows are cheap — same compile-signature bucketing the single-device
+    path already does), then dim 0 shards over "data".
+    """
+    import math
+
+    import numpy as np
+
+    n = int(mesh.devices.shape[0])
+    g = granule * n // math.gcd(granule, n)
+    B = rows.shape[0]
+    Bp = max(g, -(-B // g) * g)
+    if Bp != B:
+        rows = np.concatenate(
+            [rows, np.zeros((Bp - B,) + rows.shape[1:], rows.dtype)], axis=0
+        )
+    return shard_batch(mesh, rows)
