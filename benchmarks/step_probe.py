@@ -106,7 +106,7 @@ def main():
         def body(carry, pos):
             tok, cache = carry
             logits, cache = step(tok[:, None], cache, pos)
-            cache = jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=1), cache)
+            cache = jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), cache)
             tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (tok, cache), ()
 

@@ -206,10 +206,10 @@ class WhisperEngine:
             cross_impl=self._cross_impl(opts),
         )
         # Replicate only the prompt-filled *self* cache per beam:
-        # (L, B, ...) -> (L, B*K, ...) on the stacked buffers. Cross K/V stay
-        # per batch element and are bound into the step closure (loop
-        # constants, not carried state).
-        expanded_self = jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=1), cache["self"])
+        # (B, L, ...) -> (B*K, L, ...) on the stacked batch-leading buffers.
+        # Cross K/V stay per batch element and are bound into the step
+        # closure (loop constants, not carried state).
+        expanded_self = jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache["self"])
         tokens, sum_lp, lengths = beam_decode(
             self._step_fn(params, cache["cross"]),
             init_logits,
