@@ -312,10 +312,11 @@ def test_align_int16_uploads_match_f32(monkeypatch):
 
 
 def test_strided_conv_matmul_matches_conv_lowering():
-    """The framed-matmul feature-extractor path (TPU default; see
-    models/wav2vec2.StridedConv1D) is numerically the same conv — both impls
-    must agree on every layer geometry of the wav2vec2 stack (kernel 10/3/2,
-    stride 5/2/2, Cin 1/512)."""
+    """The framed-matmul feature-extractor path (opt-in probe via
+    WHISPERX_CONV_IMPL=matmul; the default stays the native conv lowering —
+    see models/wav2vec2.StridedConv1D and benchmarks/AB_RESULTS.json) is
+    numerically the same conv — both impls must agree on every layer
+    geometry of the wav2vec2 stack (kernel 10/3/2, stride 5/2/2, Cin 1/512)."""
     import jax
     import jax.numpy as jnp
 

@@ -51,6 +51,45 @@ def resolve_checkpoint_dir(name_or_path: str, cache_dir: Optional[str] = None) -
     )
 
 
+def primary_weights_file(path: str) -> Optional[str]:
+    """The weights file load_state_dict would read first (digest target)."""
+    if not os.path.isdir(path):
+        return path
+    for pattern in ("*.safetensors", "pytorch_model*.bin", "*.ckpt", "*.bin"):
+        files = [
+            f
+            for f in sorted(glob.glob(os.path.join(path, pattern)))
+            if "index" not in os.path.basename(f)
+        ]
+        if files:
+            return files[0]
+    return None
+
+
+def maybe_verify_checkpoint(resolved_dir: str, name_or_path: str) -> None:
+    """Integrity-check the primary weights file against the pinned registry
+    (models/pinned.py — extends the reference's SHA256 pin on its VAD
+    checkpoint, whisperx/vad.py:46-49, to every converter input).
+
+    Runs whenever the checkpoint family has a pinned digest, or for
+    unpinned families when WHISPERX_VERIFY_CKPT=1 (hashing multi-GB weights
+    costs seconds, so trust-on-first-validation entries skip by default; a
+    mismatch downgrades to a warning with WHISPERX_CKPT_ALLOW_UNPINNED=1).
+    """
+    from .pinned import PINNED, pinned_key_for, verify_pinned
+
+    key = pinned_key_for(name_or_path) or pinned_key_for(resolved_dir)
+    if key is None:
+        return
+    if PINNED.get(key) is None and os.environ.get("WHISPERX_VERIFY_CKPT") != "1":
+        return
+    weights = primary_weights_file(resolved_dir)
+    if weights:
+        verify_pinned(
+            key, weights, strict=os.environ.get("WHISPERX_CKPT_ALLOW_UNPINNED") != "1"
+        )
+
+
 def load_state_dict(path: str) -> dict[str, np.ndarray]:
     """Read a state dict from a checkpoint dir or file (safetensors/torch)."""
     if os.path.isdir(path):
@@ -181,6 +220,7 @@ def load_whisper(name_or_path: str, dtype=None, cache_dir: Optional[str] = None)
     from .whisper import Whisper
 
     path = resolve_checkpoint_dir(name_or_path, cache_dir)
+    maybe_verify_checkpoint(path, name_or_path)
     with open(os.path.join(path, "config.json")) as f:
         config = whisper_config_from_hf(json.load(f))
     sd = load_state_dict(path)
@@ -290,6 +330,7 @@ def load_wav2vec2(name_or_path: str, cache_dir: Optional[str] = None, dtype=None
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     path = resolve_checkpoint_dir(name_or_path, cache_dir)
+    maybe_verify_checkpoint(path, name_or_path)
     with open(os.path.join(path, "config.json")) as f:
         config = wav2vec2_config_from_hf(json.load(f))
     sd = load_state_dict(path)

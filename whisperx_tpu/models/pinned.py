@@ -29,7 +29,47 @@ PINNED: dict[str, Optional[str]] = {
     # trust-on-first-validation: verify_pinned warns with the observed
     # digest, which should then be recorded here.
     "wespeaker-voxceleb-resnet34-LM": None,
+    # Whisper HF checkpoints (converter input: models/convert.load_whisper;
+    # reference loads the CT2 variants at whisperx/asr.py:288). HF weight
+    # files have no vendor-published digest reachable from this offline
+    # build, so these start as trust-on-first-validation: the loader (with
+    # WHISPERX_VERIFY_CKPT=1) and tests/test_real_checkpoints.py warn with
+    # the observed sha256 of the primary weights file — record it here.
+    "whisper-tiny": None,
+    "whisper-tiny.en": None,
+    "whisper-base": None,
+    "whisper-base.en": None,
+    "whisper-small": None,
+    "whisper-small.en": None,
+    "whisper-medium": None,
+    "whisper-medium.en": None,
+    "whisper-large-v2": None,
+    "whisper-large-v3": None,
+    # wav2vec2 CTC checkpoints (converter input: load_wav2vec2; the
+    # reference's default English aligner, whisperx/alignment.py:26).
+    "wav2vec2-base-960h": None,
+    "wav2vec2-large-960h-lv60-self": None,
 }
+
+
+def pinned_key_for(name_or_path: str) -> Optional[str]:
+    """Map a checkpoint name/hub-id/local dir to its registry key.
+
+    "openai/whisper-large-v2", "/ckpts/whisper-large-v2", "large-v2" →
+    "whisper-large-v2"; "facebook/wav2vec2-base-960h" → "wav2vec2-base-960h".
+    Returns None when the basename matches no known family (custom/finetuned
+    checkpoints are intentionally unregistered).
+    """
+    import os
+    import re
+
+    base = os.path.basename(os.path.normpath(name_or_path)).lower()
+    if base in PINNED:
+        return base
+    m = re.fullmatch(r"(?:whisper-)?((?:tiny|base|small|medium)(?:\.en)?|large-v\d)", base)
+    if m and f"whisper-{m.group(1)}" in PINNED:
+        return f"whisper-{m.group(1)}"
+    return None
 
 
 def file_sha256(path: str) -> str:
