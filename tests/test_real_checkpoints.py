@@ -396,7 +396,7 @@ def test_real_eval_runbook_rehearsal(tmp_path):
 
     sr = 16000
     t = np.arange(6 * sr) / sr
-    tone = (0.3 * np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(
+    tone = (0.3 * np.sin(2 * np.pi * 600 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))).astype(
         np.float32
     )
     manifest = tmp_path / "manifest.jsonl"

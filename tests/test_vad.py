@@ -178,3 +178,30 @@ def test_vad_checkpoint_sha256_verification(tmp_path):
         verify_checkpoint_sha256(str(ckpt), "0" * 64)
     with pytest.warns(UserWarning, match="pinned reference"):
         verify_checkpoint_sha256(str(ckpt), None)
+
+
+def test_speechband_vad_rejects_music_keeps_speech():
+    """SpeechBandVAD (the weight-free default for real runs,
+    vad/model.py:load_vad_model): syllabic-modulated speech-band audio
+    scores high; sustained music and noise beds gate toward zero —
+    EnergyVAD's classic false positives (benchmarks/vad_eval.py)."""
+    import numpy as np
+
+    from benchmarks.vad_eval import build_corpus, eval_scorer
+    from whisperx_tpu.vad.model import EnergyVAD, SpeechBandVAD
+
+    rng = np.random.default_rng(0)
+    audio, truth = build_corpus(rng, 60.0)
+    sb = eval_scorer("speechband", SpeechBandVAD(), audio, truth)
+    en = eval_scorer("energy", EnergyVAD(), audio, truth)
+    assert sb["frame"]["f1"] > 0.85
+    assert sb["frame"]["f1"] > en["frame"]["f1"]
+    assert sb["frame"]["precision"] > 0.85  # music/noise rejected
+
+
+def test_vad_pipeline_honors_scorer_min_duration():
+    from whisperx_tpu.vad.model import EnergyVAD, SpeechBandVAD, VadPipeline
+
+    assert VadPipeline(SpeechBandVAD()).min_duration_on == 0.5
+    assert VadPipeline(EnergyVAD()).min_duration_on == 0.0
+    assert VadPipeline(SpeechBandVAD(), min_duration_on=0.1).min_duration_on == 0.1

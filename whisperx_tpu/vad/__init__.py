@@ -1,5 +1,5 @@
 from .binarize import SpeechTurn, binarize, binarize_and_merge, merge_chunks, merge_vad
-from .model import EnergyVAD, NeuralVAD, VadPipeline, VadScores, load_vad_model
+from .model import EnergyVAD, NeuralVAD, SpeechBandVAD, VadPipeline, VadScores, load_vad_model
 
 __all__ = [
     "SpeechTurn",
@@ -8,6 +8,7 @@ __all__ = [
     "merge_chunks",
     "merge_vad",
     "EnergyVAD",
+    "SpeechBandVAD",
     "NeuralVAD",
     "VadPipeline",
     "VadScores",
