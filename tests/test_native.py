@@ -71,3 +71,59 @@ def test_native_resample_identity(lib_ok):
     x = np.arange(100, dtype=np.float32)
     out = native.resample_poly(x, 3, 3)
     np.testing.assert_array_equal(out, x)
+
+
+def test_ingest_pool_matches_load_audio(tmp_path):
+    """The C++ ingest pool (decode+downmix+resample on worker threads — the
+    DataLoader-workers equivalent, reference whisperx/asr.py:158-171) must
+    produce the same waveform as the synchronous load_audio path."""
+    import numpy as np
+    import pytest
+
+    from whisperx_tpu import native
+    from whisperx_tpu.audio.io import load_audio, write_wav
+
+    if not native.available():
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, sr in enumerate((16000, 8000, 44100)):
+        p = tmp_path / f"clip{i}.wav"
+        write_wav(str(p), (rng.standard_normal(sr) * 0.1).astype(np.float32), sr=sr)
+        paths.append(str(p))
+
+    with native.IngestPool(threads=2) as pool:
+        jobs = [pool.submit(p, 16000) for p in paths]
+        for p, j in zip(paths, jobs):
+            got = pool.get(j)
+            ref = load_audio(p)
+            assert got is not None
+            np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    # Error path: nonexistent file reports failure (caller falls back).
+    with native.IngestPool(threads=1) as pool:
+        j = pool.submit(str(tmp_path / "missing.wav"), 16000)
+        assert pool.get(j) is None
+
+
+def test_audio_prefetcher_streams_in_order(tmp_path):
+    import numpy as np
+
+    from whisperx_tpu.audio.io import AudioPrefetcher, load_audio, write_wav
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"f{i}.wav"
+        write_wav(str(p), (rng.standard_normal(8000) * 0.1).astype(np.float32))
+        paths.append(str(p))
+    # .npy goes through the synchronous fallback inside the iterator.
+    npy = tmp_path / "f4.npy"
+    np.save(npy, (rng.standard_normal(1000) * 0.1).astype(np.float32))
+    paths.append(str(npy))
+
+    out = list(AudioPrefetcher(paths, lookahead=2))
+    assert [p for p, _ in out] == paths
+    for p, audio in out:
+        np.testing.assert_allclose(audio, load_audio(p), atol=1e-6)

@@ -170,6 +170,61 @@ def load_audio(file, sr: int = SAMPLE_RATE) -> np.ndarray:
     return resample(np.ascontiguousarray(mono, dtype=np.float32), rate, sr)
 
 
+class AudioPrefetcher:
+    """Iterate (path, waveform) with background ingest of upcoming files.
+
+    Wraps the native C++ ingest pool (native/__init__.py:IngestPool — the
+    framework's DataLoader-workers equivalent, reference whisperx/asr.py:
+    158-171): while the accelerator processes file i, files i+1..i+lookahead
+    decode/downmix/resample on host threads. Files the native decoder cannot
+    handle (non-WAV containers, .npy) transparently fall back to the
+    synchronous :func:`load_audio` path; with no native lib at all this is a
+    plain sequential loop.
+    """
+
+    def __init__(self, paths, *, sr: int = SAMPLE_RATE, lookahead: int = 2, threads: int = 2):
+        self.paths = list(paths)
+        self.sr = sr
+        self.lookahead = max(1, lookahead)
+        self._jobs = {}
+        self._pool = None
+        try:
+            from whisperx_tpu.native import IngestPool
+
+            if self.paths:
+                self._pool = IngestPool(threads)
+        except Exception:
+            self._pool = None
+
+    def _submit(self, idx: int) -> None:
+        path = self.paths[idx]
+        if self._pool is not None and not str(path).endswith(".npy"):
+            self._jobs[idx] = self._pool.submit(path, self.sr)
+
+    def __iter__(self):
+        for i in range(min(self.lookahead, len(self.paths))):
+            self._submit(i)
+        try:
+            for i, path in enumerate(self.paths):
+                ahead = i + self.lookahead
+                if ahead < len(self.paths):
+                    self._submit(ahead)
+                audio = None
+                job = self._jobs.pop(i, None)
+                if job is not None:
+                    audio = self._pool.get(job)  # None → native decode failed
+                if audio is None:
+                    audio = load_audio(path, self.sr)
+                yield path, audio
+        finally:
+            self.close()
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
+
 def write_wav(path: str, audio: np.ndarray, sr: int = SAMPLE_RATE) -> None:
     """Write mono float32 audio as 16-bit PCM WAV (test fixtures, debugging)."""
     pcm = np.clip(np.round(np.asarray(audio, dtype=np.float64) * 32768.0), -32768, 32767).astype("<i2")

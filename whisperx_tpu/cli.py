@@ -282,8 +282,12 @@ def _transcribe_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
         vad_checkpoint=cfg.vad_checkpoint,
     )
     keep_audio = len(jobs) == 1  # reuse the waveform downstream instead of re-decoding
-    for job in jobs:
-        audio = load_audio(job.path)
+    from .audio.io import AudioPrefetcher
+
+    # Background ingest: the native pool decodes/resamples file i+1 while
+    # the accelerator transcribes file i (audio/io.py:AudioPrefetcher).
+    prefetch = AudioPrefetcher([job.path for job in jobs])
+    for job, (_, audio) in zip(jobs, prefetch):
         if cfg.verbose or cfg.print_progress:
             print(f"[whisperx-tpu] transcribe: {job.path}")
         job.result = model.transcribe(
@@ -305,7 +309,17 @@ def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
     model, metadata = load_align_model(
         cfg.align_language, cfg.device, model_name=cfg.align_model_name
     )
+    from .audio.io import AudioPrefetcher
+
+    # Stream waveforms with background ingest (skipped when the single-file
+    # run already cached its audio in stage 1). Waveforms are NOT retained:
+    # only the single-file cache persists across stages (memory-bounded).
+    need = [job for job in jobs if job.audio is None]
+    prefetch = iter(AudioPrefetcher([job.path for job in need]))
     for job in jobs:
+        audio = job.audio
+        if audio is None:
+            _, audio = next(prefetch)
         if model is None or not job.result["segments"]:
             continue
         detected = job.result.get("language", "en")
@@ -322,7 +336,7 @@ def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
             job.result["segments"],
             model,
             metadata,
-            job.audio if job.audio is not None else job.path,
+            audio,
             cfg.device,
             interpolate_method=cfg.interpolate_method,
             return_char_alignments=cfg.return_char_alignments,
@@ -342,11 +356,18 @@ def _diarize_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
         segmentation_checkpoint=cfg.segmentation_checkpoint,
         clustering_threshold=cfg.diarize_clustering_threshold,
     )
+    from .audio.io import AudioPrefetcher
+
+    need = [job for job in jobs if job.audio is None]
+    prefetch = iter(AudioPrefetcher([job.path for job in need]))
     for job in jobs:
+        audio = job.audio
+        if audio is None:
+            _, audio = next(prefetch)
         if cfg.verbose or cfg.print_progress:
             print(f"[whisperx-tpu] diarize: {job.path}")
         turns = pipeline(
-            job.audio if job.audio is not None else job.path,
+            audio,
             min_speakers=cfg.min_speakers,
             max_speakers=cfg.max_speakers,
         )

@@ -38,7 +38,7 @@ class _DecodedAudio(ctypes.Structure):
 
 def _build() -> Optional[str]:
     os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, _SRC]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17", "-o", _LIB_PATH, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB_PATH
@@ -53,7 +53,8 @@ def _get_lib():
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        fresh = os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+        path = _LIB_PATH if fresh else _build()
         if path is None:
             _build_failed = True
             return None
@@ -61,6 +62,22 @@ def _get_lib():
             lib = ctypes.CDLL(path)
             lib.whisperx_decode_wav.argtypes = [ctypes.c_char_p, ctypes.POINTER(_DecodedAudio)]
             lib.whisperx_decode_wav.restype = ctypes.c_int
+            lib.whisperx_pool_create.argtypes = [ctypes.c_int32]
+            lib.whisperx_pool_create.restype = ctypes.c_void_p
+            lib.whisperx_pool_submit.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32
+            ]
+            lib.whisperx_pool_submit.restype = ctypes.c_int64
+            lib.whisperx_pool_wait.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.whisperx_pool_wait.restype = ctypes.c_int32
+            lib.whisperx_pool_destroy.argtypes = [ctypes.c_void_p]
+            lib.whisperx_pool_destroy.restype = None
             lib.whisperx_resample_poly.argtypes = [
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64,
@@ -116,6 +133,66 @@ def resample_poly(audio: np.ndarray, up: int, down: int) -> Optional[np.ndarray]
     finally:
         lib.whisperx_free(out_ptr)
     return result
+
+
+class IngestPool:
+    """Background audio ingest: paths → mono float32 waveforms at target rate.
+
+    The native equivalent of the reference's DataLoader worker processes
+    (whisperx/asr.py:158-171): a C++ std::thread pool decodes, downmixes and
+    Kaiser-resamples the NEXT files while the accelerator transcribes the
+    current one. Construction fails with RuntimeError when the native lib is
+    unavailable — callers fall back to synchronous ``load_audio``.
+    """
+
+    def __init__(self, threads: int = 2):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native audio library unavailable")
+        self._lib = lib
+        self._pool = lib.whisperx_pool_create(threads)
+        if not self._pool:
+            raise RuntimeError("ingest pool creation failed")
+
+    def submit(self, path: str, target_rate: int = 16000) -> int:
+        return int(
+            self._lib.whisperx_pool_submit(
+                self._pool, os.fspath(path).encode(), target_rate
+            )
+        )
+
+    def get(self, job_id: int, timeout_ms: int = -1) -> Optional[np.ndarray]:
+        """Blocking fetch (timeout_ms<0). Returns the waveform, or None when
+        the native decode failed (caller should fall back) or the job is
+        still pending after a finite timeout."""
+        out = ctypes.POINTER(ctypes.c_float)()
+        n = ctypes.c_int64()
+        rc = self._lib.whisperx_pool_wait(
+            self._pool, job_id, timeout_ms, ctypes.byref(out), ctypes.byref(n)
+        )
+        if rc != 0:
+            return None
+        try:
+            return np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+        finally:
+            self._lib.whisperx_free(out)
+
+    def close(self):
+        if self._pool:
+            self._lib.whisperx_pool_destroy(self._pool)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def available() -> bool:

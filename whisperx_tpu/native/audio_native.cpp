@@ -15,6 +15,14 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <new>
+#include <string>
+#include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -213,6 +221,176 @@ int64_t whisperx_resample_poly(const float* x, int64_t n, int32_t up,
 
   *out = y;
   return n_out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Async ingest pool: decode + downmix + resample on background threads.
+//
+// The reference overlaps host data work with GPU compute via torch
+// DataLoader worker processes (whisperx/asr.py:158-171); this is the
+// framework's native equivalent for file ingest: a std::thread pool turning
+// paths into mono 16 kHz float32 waveforms while the accelerator transcribes
+// the previous file. Jobs are polled (non-blocking) or waited on; results
+// are malloc'd buffers the caller frees with whisperx_free.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IngestJob {
+  std::string path;
+  int32_t target_rate;
+  int64_t id;
+};
+
+struct IngestDone {
+  float* samples = nullptr;  // mono, target_rate
+  int64_t n = 0;
+  int status = -100;  // decode/resample rc
+};
+
+struct IngestPool {
+  std::vector<std::thread> workers;
+  std::deque<IngestJob> queue;
+  std::unordered_map<int64_t, IngestDone> done;
+  std::mutex mu;
+  std::condition_variable cv_job;   // workers wait for jobs
+  std::condition_variable cv_done;  // waiters wait for results
+  int64_t next_id = 1;
+  bool stopping = false;
+};
+
+// Full ingest for one file: decode -> mono -> resample. Returns 0 on ok.
+int ingest_file(const char* path, int32_t target_rate, float** out,
+                int64_t* n_out) {
+  DecodedAudio dec;
+  int rc = whisperx_decode_wav(path, &dec);
+  if (rc != 0) return rc;
+
+  float* mono = dec.samples;
+  int64_t n = dec.frames;
+  std::vector<float> mono_buf;
+  if (dec.channels > 1) {
+    mono_buf.resize((size_t)dec.frames);
+    const float inv = 1.0f / (float)dec.channels;
+    for (int64_t i = 0; i < dec.frames; i++) {
+      double acc = 0.0;
+      const float* f = dec.samples + i * dec.channels;
+      for (int32_t c = 0; c < dec.channels; c++) acc += f[c];
+      mono_buf[(size_t)i] = (float)acc * inv;
+    }
+    mono = mono_buf.data();
+  }
+
+  if (dec.sample_rate == target_rate) {
+    float* y = (float*)malloc(sizeof(float) * (size_t)n);
+    if (!y) {
+      free(dec.samples);
+      return -7;
+    }
+    memcpy(y, mono, sizeof(float) * (size_t)n);
+    *out = y;
+    *n_out = n;
+    free(dec.samples);
+    return 0;
+  }
+
+  // Rational factor target/orig reduced by gcd.
+  int64_t a = target_rate, b = dec.sample_rate;
+  while (b) {
+    int64_t t = a % b;
+    a = b;
+    b = t;
+  }
+  const int32_t up = (int32_t)(target_rate / a);
+  const int32_t down = (int32_t)(dec.sample_rate / a);
+  float* y = nullptr;
+  int64_t m = whisperx_resample_poly(mono, n, up, down, &y);
+  free(dec.samples);
+  if (m < 0) return (int)m;
+  *out = y;
+  *n_out = m;
+  return 0;
+}
+
+void pool_worker(IngestPool* p) {
+  for (;;) {
+    IngestJob job;
+    {
+      std::unique_lock<std::mutex> lk(p->mu);
+      p->cv_job.wait(lk, [p] { return p->stopping || !p->queue.empty(); });
+      if (p->stopping && p->queue.empty()) return;
+      job = p->queue.front();
+      p->queue.pop_front();
+    }
+    IngestDone d;
+    d.status = ingest_file(job.path.c_str(), job.target_rate, &d.samples, &d.n);
+    {
+      std::lock_guard<std::mutex> lk(p->mu);
+      p->done[job.id] = d;
+    }
+    p->cv_done.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* whisperx_pool_create(int32_t threads) {
+  if (threads <= 0) threads = 2;
+  if (threads > 64) threads = 64;
+  IngestPool* p = new (std::nothrow) IngestPool();
+  if (!p) return nullptr;
+  for (int32_t i = 0; i < threads; i++) p->workers.emplace_back(pool_worker, p);
+  return p;
+}
+
+int64_t whisperx_pool_submit(void* pool, const char* path, int32_t target_rate) {
+  IngestPool* p = (IngestPool*)pool;
+  int64_t id;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    id = p->next_id++;
+    p->queue.push_back(IngestJob{path, target_rate, id});
+  }
+  p->cv_job.notify_one();
+  return id;
+}
+
+// wait_ms < 0: block until done. Returns 0 done-ok (fills out/n, caller
+// frees), 1 still pending, <0 the job's decode/resample error.
+int32_t whisperx_pool_wait(void* pool, int64_t job_id, int32_t wait_ms,
+                           float** out, int64_t* n_out) {
+  IngestPool* p = (IngestPool*)pool;
+  std::unique_lock<std::mutex> lk(p->mu);
+  auto ready = [&] { return p->done.count(job_id) != 0; };
+  if (wait_ms < 0) {
+    p->cv_done.wait(lk, ready);
+  } else if (!ready()) {
+    p->cv_done.wait_for(lk, std::chrono::milliseconds(wait_ms), ready);
+  }
+  auto it = p->done.find(job_id);
+  if (it == p->done.end()) return 1;
+  IngestDone d = it->second;
+  p->done.erase(it);
+  if (d.status != 0) return d.status;
+  *out = d.samples;
+  *n_out = d.n;
+  return 0;
+}
+
+void whisperx_pool_destroy(void* pool) {
+  IngestPool* p = (IngestPool*)pool;
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stopping = true;
+  }
+  p->cv_job.notify_all();
+  for (auto& t : p->workers) t.join();
+  for (auto& kv : p->done) free(kv.second.samples);
+  delete p;
 }
 
 }  // extern "C"

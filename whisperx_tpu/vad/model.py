@@ -189,6 +189,7 @@ class SpeechBandVAD:
         mod_window_s: float = 0.8,
         mod_knee: float = 0.3,
         gate_smooth: int = 29,
+        close_s: float = 0.22,
     ):
         self.band = band
         self.env_smooth = env_smooth
@@ -197,6 +198,7 @@ class SpeechBandVAD:
         self.mod_window_s = mod_window_s
         self.mod_knee = mod_knee
         self.gate_smooth = gate_smooth
+        self.close_s = close_s
 
     def __call__(self, audio: np.ndarray) -> VadScores:
         n = len(audio)
@@ -244,6 +246,26 @@ class SpeechBandVAD:
         energy = np.clip((log_rms - lo) / max(hi - lo, 1e-6), 0.0, 1.0)
 
         scores = energy * gate
+
+        # Morphological closing (sliding max, then sliding min): fills score
+        # dips narrower than close_s *exactly* to the surrounding level, so
+        # deep intra-speech envelope valleys (e.g. strong syllabic AM over a
+        # silent floor, where per-file normalization amplifies the ripple to
+        # a full 0→1 swing) cannot flap the binarize hysteresis. This is the
+        # max_duration-compatible replacement for the reference's
+        # min_duration_off gap-fill (whisperx/vad.py:185-187 raises when the
+        # two combine, so its chunking path has no gap-fill at all).
+        cw = max(3, int(self.close_s * frame_rate))
+        if cw % 2 == 0:
+            cw += 1
+
+        def _slide(arr, op):
+            sw = np.lib.stride_tricks.sliding_window_view(
+                np.pad(arr, (cw // 2, cw // 2), mode="edge"), cw
+            )
+            return op(sw, axis=1)
+
+        scores = _slide(_slide(scores, np.max), np.min)
         times = (starts + FRAME_SIZE / 2) / SAMPLE_RATE
         return VadScores(scores.astype(np.float32), times.astype(np.float32))
 
@@ -258,6 +280,7 @@ class VadPipeline:
         onset: float = 0.500,
         offset: float = 0.363,
         min_duration_on: Optional[float] = None,
+        min_duration_off: float = 0.0,
     ):
         self.scorer = scorer
         self.onset = onset
@@ -267,6 +290,11 @@ class VadPipeline:
         if min_duration_on is None:
             min_duration_on = float(getattr(scorer, "min_duration_on", 0.0))
         self.min_duration_on = min_duration_on
+        # Gap-fill below binarize (reference Binarize raises when combined
+        # with max_duration — whisperx/vad.py:185-187 — so its merge_chunks
+        # path never uses it either; keep 0.0 with chunked binarize and use
+        # scorer-level closing instead, see SpeechBandVAD).
+        self.min_duration_off = min_duration_off
 
     def __call__(self, audio: np.ndarray, chunk_size: float = 30.0) -> List[dict]:
         vs = self.scorer(audio)
@@ -276,6 +304,7 @@ class VadPipeline:
             onset=self.onset,
             offset=self.offset,
             min_duration_on=self.min_duration_on,
+            min_duration_off=self.min_duration_off,
             max_duration=chunk_size,
         )
         if not turns:
@@ -287,6 +316,7 @@ class VadPipeline:
         return binarize(
             vs.scores, vs.timestamps, onset=self.onset, offset=self.offset,
             min_duration_on=self.min_duration_on,
+            min_duration_off=self.min_duration_off,
             max_duration=max_duration,
         )
 
