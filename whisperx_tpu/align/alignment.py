@@ -258,6 +258,22 @@ def _fused_align_fwd(model, blank: int, backend: str):
     return fwd
 
 
+def _ladder_rows(n: int, max_batch: int, mesh=None) -> int:
+    """Round a tail batch up on the halving ladder {B, B/2, B/4}.
+
+    Bounds compile signatures (≤3 row counts per length bucket) while
+    cutting the padding FLOPs of partial batches. Under a mesh, rows stay a
+    multiple of the data axis so batches tile it.
+    """
+    floor = 1
+    if mesh is not None:
+        floor = int(mesh.devices.shape[0])
+    for rows in (max_batch // 4, max_batch // 2, max_batch):
+        if rows >= max(n, floor, 1) and rows % max(floor, 1) == 0:
+            return rows
+    return max_batch
+
+
 def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
     """Run wav2vec2 over length-sorted padded batches → per-segment
     (log_probs (T', V), T') on host."""
@@ -282,10 +298,13 @@ def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
     while i < len(order):
         batch_idx = order[i : i + B]
         max_len = bucket_len(max(len(slices[j]) for j in batch_idx))
-        # Fixed batch rows: the last partial batch pads to max_batch so each
-        # length bucket is exactly one compile signature.
-        wavs = np.zeros((B, max_len), np.float32)
-        lens = np.zeros((B,), np.int32)
+        # Tail batches round up on a halving ladder (B, B/2, B/4) instead of
+        # always padding to max_batch: ≤3 row signatures per length bucket,
+        # and a half-full tail pays half the wav2vec2 FLOPs (the r3
+        # align-batch16 A/B regression was exactly this padding tax).
+        rows = _ladder_rows(len(batch_idx), B, align_model.mesh)
+        wavs = np.zeros((rows, max_len), np.float32)
+        lens = np.zeros((rows,), np.int32)
         for row, j in enumerate(batch_idx):
             wavs[row, : len(slices[j])] = slices[j]
             lens[row] = len(slices[j])
@@ -454,9 +473,11 @@ def align(
             max_len = bucket_len(max(len(slices[k]) for k in idx))
             N_true = max(len(token_lists[k]) for k in idx)
             N = max(64, -(-N_true // 64) * 64)
-            wavs = np.zeros((B, max_len), audio_up.dtype)
+            # Tail batches shrink on the halving ladder (see _ladder_rows).
+            rows = _ladder_rows(len(idx), B, model.mesh)
+            wavs = np.zeros((rows, max_len), audio_up.dtype)
             # tok_pack = [tokens | sample_len | n_len]: one small upload.
-            tok_pack = np.zeros((B, N + 2), np.int32)
+            tok_pack = np.zeros((rows, N + 2), np.int32)
             tok_pack[:, 0] = model.blank_id or 1
             tok_pack[:, N + 1] = 1  # padding rows: 1 dummy token
             for row, k in enumerate(idx):
