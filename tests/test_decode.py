@@ -198,3 +198,39 @@ def test_engine_jit_cache_shared_across_instances(engine_and_params):
     assert fresh == engine and hash(fresh) == hash(engine)
     fresh.generate(params, mel, options=opts)
     assert WhisperEngine.decode_beam._cache_size() == size_before
+
+
+def test_beam_reorder_impls_agree(monkeypatch):
+    """WHISPERX_REORDER=onehot (MXU permutation matmul) and =take (gather)
+    must produce identical beam decodes, with and without the lax.cond
+    identity bypass (WHISPERX_REORDER_COND)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+
+    outs = {}
+    for reorder, cond in (("take", "1"), ("take", "0"), ("onehot", "0"), ("onehot", "1")):
+        monkeypatch.setenv("WHISPERX_REORDER", reorder)
+        monkeypatch.setenv("WHISPERX_REORDER_COND", cond)
+        engine = WhisperEngine(model, tok)  # fresh engine: fresh jit cache key
+        opts = engine.build_options(beam_size=3, max_new_tokens=6)
+        import dataclasses
+
+        # distinct static opts per variant so the jit cache cannot alias
+        opts = dataclasses.replace(opts, patience=1.0 + 0.0001 * len(outs))
+        res = engine.generate(params, mel, options=opts)
+        outs[(reorder, cond)] = np.asarray(res.tokens)
+
+    base = outs[("take", "1")]
+    for key, toks in outs.items():
+        np.testing.assert_array_equal(base, toks, err_msg=str(key))

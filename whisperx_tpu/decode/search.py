@@ -198,7 +198,54 @@ def _gather_cache(self_cache, flat_idx):
     MultiHeadAttention's beam grouping), live outside the loop carry as
     while-loop constants, and are never reindexed.
     """
+    impl = _reorder_impl()
+    if impl == "onehot":
+        # Permutation as an MXU matmul: out = P @ flat where P is the 0/1
+        # selection matrix (exactly one 1 per row), so the copy rides the
+        # MXU's streaming datapath instead of the gather unit. Exact for
+        # every dtype here: int8 accumulates in int32 (sums of one int8
+        # term), floats sum one exact product.
+        R = flat_idx.shape[0]
+        p8 = jax.nn.one_hot(flat_idx, R, dtype=jnp.int8)
+        pf = p8.astype(jnp.float32)
+
+        def one(a):
+            flat = a.reshape(a.shape[0], -1)
+            if a.dtype == jnp.int8:
+                y = jax.lax.dot(p8, flat, preferred_element_type=jnp.int32)
+                y = y.astype(jnp.int8)
+            elif a.dtype == jnp.float32:
+                y = jax.lax.dot(pf, flat)
+            else:  # bf16 cache: select via f32 (one exact product per row)
+                y = jax.lax.dot(pf, flat.astype(jnp.float32)).astype(a.dtype)
+            return y.reshape(a.shape)
+
+        return jax.tree_util.tree_map(one, self_cache)
     return jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), self_cache)
+
+
+def _reorder_impl() -> str:
+    """Beam cache-reorder impl: "take" (axis-0 gather) or "onehot" (MXU
+    matmul against the 0/1 permutation matrix). Trace-time env knob
+    WHISPERX_REORDER, A/B'd on chip (benchmarks/gather_probe.py)."""
+    import os
+
+    impl = os.environ.get("WHISPERX_REORDER", "take")
+    if impl not in ("take", "onehot"):
+        raise ValueError(f"unknown WHISPERX_REORDER={impl!r}: expected take|onehot")
+    return impl
+
+
+def _reorder_always() -> bool:
+    """When true, skip the lax.cond identity-bypass and reorder every step.
+
+    The cond's two branches cannot alias one output buffer, so XLA may
+    insert a full cache copy even on the identity path — with a fast
+    reorder the unconditional version can win. Env: WHISPERX_REORDER_COND=0
+    to go unconditional (trace-time)."""
+    import os
+
+    return os.environ.get("WHISPERX_REORDER_COND", "1") == "0"
 
 
 def beam_decode(
@@ -275,17 +322,21 @@ def beam_decode(
         new_toks = new_toks.at[:, :, step].set(new_tok)
 
         flat_idx = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
-        # Skip the (large) cache reorder when every batch element kept its
-        # beams in place — the common case once beams stabilize on real
-        # speech. lax.cond executes one branch only, so the identity path
-        # costs a predicate instead of a full cache copy.
-        is_identity = jnp.all(new_beam == jnp.arange(K)[None, :])
-        cache = jax.lax.cond(
-            is_identity,
-            lambda c: c,
-            lambda c: _gather_cache(c, flat_idx),
-            cache,
-        )
+        if _reorder_always():
+            cache = _gather_cache(cache, flat_idx)
+        else:
+            # Skip the (large) cache reorder when every batch element kept
+            # its beams in place — the common case once beams stabilize on
+            # real speech. lax.cond executes one branch only, so the
+            # identity path costs a predicate instead of a full cache copy
+            # (unless XLA inserts a carry copy — see _reorder_always).
+            is_identity = jnp.all(new_beam == jnp.arange(K)[None, :])
+            cache = jax.lax.cond(
+                is_identity,
+                lambda c: c,
+                lambda c: _gather_cache(c, flat_idx),
+                cache,
+            )
 
         step_tokens = new_tok.reshape(B * K, 1).astype(jnp.int32)
         logits, cache = step_fn(step_tokens, cache, prompt_len + step)
