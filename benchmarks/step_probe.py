@@ -98,15 +98,18 @@ def main():
         return tok
 
     def fwd_gather_loop(params, cross, tok, cache):
+        from whisperx_tpu.decode.search import _gather_cache
+
         step = engine._step_fn(params, cross)
-        # Rotating beam permutation per step: forces the same cache gather
+        # Rotating beam permutation per step: forces the same cache reorder
         # the beam loop pays whenever beams reorder (random-weight regime).
+        # Routed through search._gather_cache so WHISPERX_REORDER applies.
         perm = (jnp.arange(B * K) + 1) % (B * K)
 
         def body(carry, pos):
             tok, cache = carry
             logits, cache = step(tok[:, None], cache, pos)
-            cache = jax.tree_util.tree_map(lambda a: jnp.take(a, perm, axis=0), cache)
+            cache = _gather_cache(cache, perm)
             tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             return (tok, cache), ()
 
