@@ -59,11 +59,12 @@ def build_bench_engine():
 
     cfg = get_whisper_config(knobs["model_name"])
     model, params = init_whisper_params(cfg, seed=0, dtype=jnp.bfloat16)
-    if knobs["quant"] in ("int8", "int8-decoder"):
+    if knobs["quant"] in ("int8", "int8-decoder", "int4", "int4-decoder"):
         from whisperx_tpu.models.whisper import quantize_whisper
 
-        scope = "decoder" if knobs["quant"] == "int8-decoder" else "all"
-        model, params = quantize_whisper(model, params, scope=scope)
+        scope = "decoder" if knobs["quant"].endswith("-decoder") else "all"
+        bits = 4 if knobs["quant"].startswith("int4") else 8
+        model, params = quantize_whisper(model, params, scope=scope, bits=bits)
     if knobs["fused_qkv"]:
         from whisperx_tpu.models.whisper import fuse_whisper_qkv
 

@@ -151,3 +151,60 @@ def test_quantized_wav2vec2_alignment_recovers_times():
         [{"start": 0.0, "end": 1.0, "text": "ab"}], m, meta, audio, None
     )
     assert out["segments"], out
+
+
+def test_int4_weight_only_decode_runs_and_tracks_int8():
+    """EXPERIMENTAL int4 weight-only (Dense.quant_bits=4): decode runs with
+    packed s4 kernels; with weights exactly representable on the int4 grid
+    the quantization is lossless, so int4 and int8 decodes must agree
+    token-for-token."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params, quantize_whisper
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+
+    # Snap every rank-2 kernel onto its own int4 grid (scale = amax/7) so
+    # both 8-bit and 4-bit quantization are exact and must agree.
+    def snap(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for name, child in node.items():
+            if isinstance(child, dict):
+                out[name] = snap(child)
+            elif name == "kernel" and getattr(child, "ndim", 0) == 2:
+                arr = np.asarray(child, np.float32)
+                scale = np.maximum(np.max(np.abs(arr), axis=0) / 7.0, 1e-12)
+                out[name] = jnp.asarray(np.round(arr / scale) * scale)
+            else:
+                out[name] = child
+        return out
+
+    params = snap(params)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+
+    m8, p8 = quantize_whisper(model, params, bits=8)
+    m4, p4 = quantize_whisper(model, params, bits=4)
+    assert jax.tree_util.tree_leaves(p4)[0] is not None
+    kernels4 = [
+        leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(p4)[0]
+        if getattr(path[-1], "key", "") == "kernel" and leaf.ndim == 2
+    ]
+    assert any(k.dtype == jnp.int4 for k in kernels4)
+
+    e8 = WhisperEngine(m8, tok)
+    e4 = WhisperEngine(m4, tok)
+    opts8 = e8.build_options(beam_size=2, max_new_tokens=6)
+    opts4 = e4.build_options(beam_size=2, max_new_tokens=6)
+    t8 = np.asarray(e8.generate(p8, mel, options=opts8).tokens)
+    t4 = np.asarray(e4.generate(p4, mel, options=opts4).tokens)
+    np.testing.assert_array_equal(t8, t4)

@@ -132,18 +132,24 @@ class Dense(nn.Module):
     use_bias: bool = True
     dtype: Any = jnp.float32
     quantized: bool = False
+    # Weight storage width when quantized: 8 (int8, default) or 4 (int4 —
+    # EXPERIMENTAL: halves weight HBM reads again; v5e supports packed s4
+    # storage. Use per-channel symmetric scales like int8; accuracy on real
+    # weights unvalidated, keep opt-in).
+    quant_bits: int = 8
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         in_features = x.shape[-1]
         if self.quantized:
+            qdt = jnp.int4 if self.quant_bits == 4 else jnp.int8
             kernel = self.param(
-                "kernel", lambda key, s: jnp.zeros(s, jnp.int8), (in_features, self.features)
+                "kernel", lambda key, s: jnp.zeros(s, qdt), (in_features, self.features)
             )
             scale = self.param(
                 "kernel_scale", lambda key, s: jnp.ones(s, jnp.float32), (self.features,)
             )
-            if _use_pallas_int8(x, self.features):
+            if self.quant_bits == 8 and _use_pallas_int8(x, self.features):
                 from ..ops.pallas_int8_mm import int8_matmul
 
                 lead = x.shape[:-1]
@@ -173,22 +179,30 @@ def quantize_params(
     *,
     embedding_keys: tuple[str, ...] = ("token_embedding",),
     scope: str = "all",
+    bits: int = 8,
 ):
-    """Host-side tree transform: fp kernels → (int8 kernel, kernel_scale).
+    """Host-side tree transform: fp kernels → (int kernel, kernel_scale).
 
     Every rank-2 "kernel" leaf (all Dense projections; conv kernels are
-    rank-3 and stay fp) becomes symmetric per-output-channel int8. Decoder
-    token embeddings become per-row int8 (the logits matmul against the
-    embedding table is one of the largest per-step weight reads). Use with a
-    model constructed with ``quantized=True``. ``scope``: "all" or a single
-    top-level subtree name ("decoder"/"encoder") to quantize.
+    rank-3 and stay fp) becomes symmetric per-output-channel int8 — or int4
+    with ``bits=4`` (packed s4 storage halves weight HBM reads again;
+    experimental, embeddings stay int8). Decoder token embeddings become
+    per-row int8 (the logits matmul against the embedding table is one of
+    the largest per-step weight reads). Use with a model constructed with
+    ``quantized=True`` (and matching ``quant_bits``). ``scope``: "all" or a
+    single top-level subtree name ("decoder"/"encoder") to quantize.
     """
 
     if scope != "all":
         return {
-            name: (quantize_params(child, embedding_keys=embedding_keys) if name == scope else child)
+            name: (
+                quantize_params(child, embedding_keys=embedding_keys, bits=bits)
+                if name == scope
+                else child
+            )
             for name, child in params.items()
         }
+    qmax = 7 if bits == 4 else 127
 
     def walk(node):
         if not isinstance(node, dict):
@@ -201,10 +215,9 @@ def quantize_params(
             if name == "kernel" and getattr(child, "ndim", 0) == 2:
                 arr = np.asarray(child, np.float32)
                 amax = np.max(np.abs(arr), axis=0)
-                scale = np.maximum(amax / 127.0, 1e-12)
-                out[name] = jnp.asarray(
-                    np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
-                )
+                scale = np.maximum(amax / qmax, 1e-12)
+                q = jnp.asarray(np.clip(np.round(arr / scale), -qmax, qmax).astype(np.int8))
+                out[name] = q.astype(jnp.int4) if bits == 4 else q
                 out["kernel_scale"] = jnp.asarray(scale.astype(np.float32))
             elif name in embedding_keys and getattr(child, "ndim", 0) == 2:
                 arr = np.asarray(child, np.float32)
@@ -234,8 +247,9 @@ def fuse_qkv_params(params):
 
     def fuse(attn: dict) -> dict:
         q, k, v = attn["query"], attn["key"], attn["value"]
+        # jnp (not np) concat: int4 kernels have no numpy equivalent dtype.
         cat = lambda name: jnp.concatenate(
-            [np.asarray(q[name]), np.asarray(k[name]), np.asarray(v[name])], axis=-1
+            [jnp.asarray(q[name]), jnp.asarray(k[name]), jnp.asarray(v[name])], axis=-1
         )
         qkv = {"kernel": cat("kernel")}
         if "kernel_scale" in q:
@@ -278,6 +292,7 @@ class MultiHeadAttention(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    quant_bits: int = 8
     # Full self-attention (encoder) impl: "auto" → Pallas flash kernel on
     # TPU, naive XLA on CPU; force "xla" under tensor-parallel meshes (a bare
     # pallas_call cannot be auto-partitioned by pjit).
@@ -290,13 +305,14 @@ class MultiHeadAttention(nn.Module):
 
     def setup(self):
         q = self.quantized
+        qb = self.quant_bits
         if self.fused_qkv:
-            self.qkv = Dense(3 * self.d_model, dtype=self.dtype, quantized=q)
+            self.qkv = Dense(3 * self.d_model, dtype=self.dtype, quantized=q, quant_bits=qb)
         else:
-            self.query = Dense(self.d_model, dtype=self.dtype, quantized=q)
-            self.key = Dense(self.d_model, use_bias=False, dtype=self.dtype, quantized=q)
-            self.value = Dense(self.d_model, dtype=self.dtype, quantized=q)
-        self.out = Dense(self.d_model, dtype=self.dtype, quantized=q)
+            self.query = Dense(self.d_model, dtype=self.dtype, quantized=q, quant_bits=qb)
+            self.key = Dense(self.d_model, use_bias=False, dtype=self.dtype, quantized=q, quant_bits=qb)
+            self.value = Dense(self.d_model, dtype=self.dtype, quantized=q, quant_bits=qb)
+        self.out = Dense(self.d_model, dtype=self.dtype, quantized=q, quant_bits=qb)
 
     def _split(self, h: Array) -> Array:  # (B, T, D) -> (B, T, H, Dh)
         return h.reshape(h.shape[0], h.shape[1], self.n_head, self.d_model // self.n_head)
@@ -437,10 +453,11 @@ class MLP(nn.Module):
     d_model: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    quant_bits: int = 8
 
     def setup(self):
-        self.fc1 = Dense(4 * self.d_model, dtype=self.dtype, quantized=self.quantized)
-        self.fc2 = Dense(self.d_model, dtype=self.dtype, quantized=self.quantized)
+        self.fc1 = Dense(4 * self.d_model, dtype=self.dtype, quantized=self.quantized, quant_bits=self.quant_bits)
+        self.fc2 = Dense(self.d_model, dtype=self.dtype, quantized=self.quantized, quant_bits=self.quant_bits)
 
     def __call__(self, x: Array) -> Array:
         return self.fc2(nn.gelu(self.fc1(x), approximate=False))
@@ -451,6 +468,7 @@ class EncoderBlock(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    quant_bits: int = 8
     attn_impl: str = "auto"
     fused_qkv: bool = False
 
@@ -458,10 +476,10 @@ class EncoderBlock(nn.Module):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(
             self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized,
-            attn_impl=self.attn_impl, fused_qkv=self.fused_qkv,
+            quant_bits=self.quant_bits, attn_impl=self.attn_impl, fused_qkv=self.fused_qkv,
         )
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
+        self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized, quant_bits=self.quant_bits)
 
     def __call__(self, x: Array) -> Array:
         h, _ = self.attn(self.attn_ln(x).astype(self.dtype))
@@ -473,6 +491,7 @@ class AudioEncoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
     quantized: bool = False
+    quant_bits: int = 8
     attn_impl: str = "auto"
     fused_qkv: bool = False
 
@@ -488,6 +507,7 @@ class AudioEncoder(nn.Module):
                 cfg.n_audio_head,
                 dtype=self.dtype,
                 quantized=self.quantized,
+                quant_bits=self.quant_bits,
                 attn_impl=self.attn_impl,
                 fused_qkv=self.fused_qkv,
                 name=f"layers_{i}",
@@ -520,20 +540,22 @@ class DecoderBlock(nn.Module):
     n_head: int
     dtype: Any = jnp.float32
     quantized: bool = False
+    quant_bits: int = 8
     fused_qkv: bool = False
 
     def setup(self):
         self.attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(
             self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized,
-            fused_qkv=self.fused_qkv,
+            quant_bits=self.quant_bits, fused_qkv=self.fused_qkv,
         )
         self.cross_attn_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.cross_attn = MultiHeadAttention(
-            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized
+            self.d_model, self.n_head, dtype=self.dtype, quantized=self.quantized,
+            quant_bits=self.quant_bits,
         )
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
-        self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized)
+        self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized, quant_bits=self.quant_bits)
 
     def __call__(self, x, *, self_cache, cache_index, cache_layer, cross_kv, self_mask):
         h, new_self_cache = self.attn(
@@ -558,6 +580,7 @@ class TextDecoder(nn.Module):
     config: WhisperConfig
     dtype: Any = jnp.float32
     quantized: bool = False
+    quant_bits: int = 8
     fused_qkv: bool = False
 
     def setup(self):
@@ -595,6 +618,7 @@ class TextDecoder(nn.Module):
                 cfg.n_text_head,
                 dtype=self.dtype,
                 quantized=self.quantized,
+                quant_bits=self.quant_bits,
                 fused_qkv=self.fused_qkv,
                 name=f"layers_{i}",
             )
@@ -675,16 +699,19 @@ class Whisper(nn.Module):
     # with fuse_qkv_params. Keep False under tensor parallelism (the fused
     # output dim would shard across q/k/v regions).
     fused_qkv: bool = False
+    # Quantized weight width: 8 or 4 (see Dense.quant_bits).
+    quant_bits: int = 8
 
     def setup(self):
         q_enc = self.quantized is True or self.quantized == "encoder"
         q_dec = self.quantized is True or self.quantized == "decoder"
         self.encoder = AudioEncoder(
-            self.config, dtype=self.dtype, quantized=q_enc, attn_impl=self.attn_impl,
-            fused_qkv=self.fused_qkv,
+            self.config, dtype=self.dtype, quantized=q_enc, quant_bits=self.quant_bits,
+            attn_impl=self.attn_impl, fused_qkv=self.fused_qkv,
         )
         self.decoder = TextDecoder(
-            self.config, dtype=self.dtype, quantized=q_dec, fused_qkv=self.fused_qkv
+            self.config, dtype=self.dtype, quantized=q_dec, quant_bits=self.quant_bits,
+            fused_qkv=self.fused_qkv
         )
 
     def __call__(self, mel: Array, tokens: Array):
@@ -773,22 +800,24 @@ def init_whisper_params(config: WhisperConfig, seed: int = 0, dtype=jnp.float32)
     return model, random_params_like(shapes, seed=seed)
 
 
-def quantize_whisper(model: Whisper, params, scope: str = "all"):
-    """(model, fp params) → (int8 weight-only model, quantized params).
+def quantize_whisper(model: Whisper, params, scope: str = "all", bits: int = 8):
+    """(model, fp params) → (int weight-only model, quantized params).
 
     TPU analogue of loading the reference's CT2 model with
     ``compute_type="int8"`` (whisperx/asr.py:262,288). ``scope="decoder"``
-    quantizes only the decode path (encoder stays bf16 matmuls).
+    quantizes only the decode path (encoder stays bf16 matmuls);
+    ``bits=4`` stores Dense kernels as packed int4 (experimental).
     """
     flag = True if scope == "all" else scope
     qmodel = Whisper(
         model.config,
         dtype=model.dtype,
         quantized=flag,
+        quant_bits=bits,
         attn_impl=model.attn_impl,
         fused_qkv=model.fused_qkv,
     )
-    return qmodel, quantize_params(params, scope=scope)
+    return qmodel, quantize_params(params, scope=scope, bits=bits)
 
 
 def fuse_whisper_qkv(model: Whisper, params):
@@ -798,6 +827,7 @@ def fuse_whisper_qkv(model: Whisper, params):
         model.config,
         dtype=model.dtype,
         quantized=model.quantized,
+        quant_bits=model.quant_bits,
         attn_impl=model.attn_impl,
         fused_qkv=True,
     )

@@ -470,6 +470,7 @@ def load_model(
         "bfloat16": jnp.bfloat16,
         "float16": jnp.bfloat16,  # TPUs prefer bf16; fp16 requests map there
         "int8": jnp.bfloat16,
+        "int4": jnp.bfloat16,
         "float32": jnp.float32,
         "default": jnp.bfloat16,
     }.get(compute_type, jnp.bfloat16)
@@ -495,12 +496,15 @@ def load_model(
         )
 
     whisper_model, params, config = load_whisper(path, dtype=dtype)
-    if compute_type == "int8":
-        # Weight-only int8 (per-output-channel scales): the TPU analogue of
-        # the reference's CT2 compute_type="int8" (whisperx/asr.py:262,288).
+    if compute_type in ("int8", "int4"):
+        # Weight-only int8/int4 (per-output-channel scales): the TPU analogue
+        # of the reference's CT2 compute_type="int8" (whisperx/asr.py:262,288);
+        # int4 is the experimental half-width variant (Dense.quant_bits).
         from ..models.whisper import quantize_whisper
 
-        whisper_model, params = quantize_whisper(whisper_model, params)
+        whisper_model, params = quantize_whisper(
+            whisper_model, params, bits=4 if compute_type == "int4" else 8
+        )
 
     # Fuse q/k/v into one projection for the per-token decode path (on-chip
     # A/B winner, benchmarks/AB_RESULTS.json r2: 135.6x vs 130.3x). Skipped
