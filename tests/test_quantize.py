@@ -208,3 +208,37 @@ def test_int4_weight_only_decode_runs_and_tracks_int8():
     t8 = np.asarray(e8.generate(p8, mel, options=opts8).tokens)
     t4 = np.asarray(e4.generate(p4, mel, options=opts4).tokens)
     np.testing.assert_array_equal(t8, t4)
+
+
+def test_int4_kv_cache_decode_runs():
+    """kv_cache_dtype='int4' (experimental): int4 self cache + int4 cross KV
+    with per-(token, head) scales — decode must run and terminate; greedy
+    argmax tokens should mostly agree with the int8-KV decode on a
+    small-logit test model."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params, quantize_kv
+
+    # Roundtrip error bound: |x - dq(q(x))| <= scale/2 = amax/14.
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 7, 3, 8)), jnp.float32)
+    q, s = quantize_kv(x, bits=4)
+    assert q.dtype == jnp.int4
+    err = np.abs(np.asarray(q, np.float32) * np.asarray(s) - np.asarray(x))
+    assert err.max() <= float(np.max(np.asarray(s))) / 2 + 1e-6
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    engine = WhisperEngine(model, tok)
+    mel = jnp.asarray(rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+
+    o8 = engine.build_options(beam_size=2, max_new_tokens=6, kv_cache_dtype="int8")
+    o4 = engine.build_options(beam_size=2, max_new_tokens=6, kv_cache_dtype="int4")
+    t8 = np.asarray(engine.generate(params, mel, options=o8).tokens)
+    t4 = np.asarray(engine.generate(params, mel, options=o4).tokens)
+    assert t4.shape == t8.shape
+    assert np.isfinite(t4).all()

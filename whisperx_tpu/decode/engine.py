@@ -112,7 +112,7 @@ class WhisperEngine:
         audio_states,
         prompt_tokens,
         cache_len: int = 0,
-        kv_int8: bool = False,
+        kv_bits: int = 0,
         cross_impl: str = "xla",
     ):
         """Run the prompt through the decoder.
@@ -126,16 +126,20 @@ class WhisperEngine:
         from ..models.whisper import flat_cross_kv, quantize_kv
 
         B = audio_states.shape[0]
-        cache_dtype = jnp.int8 if kv_int8 else self.model.dtype
+        cache_dtype = {8: jnp.int8, 4: jnp.int4}.get(kv_bits, self.model.dtype)
         cache = self.model.empty_cache(B, cache_dtype=cache_dtype, cache_len=cache_len)
         cross = self.model.apply(
             {"params": params}, audio_states, method=Whisper.compute_cross_kv
         )
         if cross_impl == "pallas":
-            cross = [flat_cross_kv(k, v, kv_int8) for (k, v) in cross]
-        elif kv_int8:
+            # The fused Pallas kernel is int8-only; int4 requests fall back
+            # to int8 cross KV under it (self cache stays int4).
+            cross = [flat_cross_kv(k, v, kv_bits in (4, 8)) for (k, v) in cross]
+        elif kv_bits:
             cross = [
-                (lambda qk, ks, qv, vs: (qk, ks, qv, vs))(*quantize_kv(k), *quantize_kv(v))
+                (lambda qk, ks, qv, vs: (qk, ks, qv, vs))(
+                    *quantize_kv(k, bits=kv_bits), *quantize_kv(v, bits=kv_bits)
+                )
                 for (k, v) in cross
             ]
         cache["cross"] = cross
@@ -181,7 +185,7 @@ class WhisperEngine:
         init_logits, cache, no_speech = self._prompt_cache(
             params, audio_states, prompt_tokens,
             self._cache_len(prompt_tokens.shape[1], opts),
-            kv_int8=opts.kv_cache_dtype == "int8",
+            kv_bits={"int8": 8, "int4": 4}.get(opts.kv_cache_dtype, 0),
             cross_impl=self._cross_impl(opts),
         )
         tokens, sum_lp, lengths = greedy_decode(
@@ -202,7 +206,7 @@ class WhisperEngine:
         init_logits, cache, no_speech = self._prompt_cache(
             params, audio_states, prompt_tokens,
             self._cache_len(prompt_tokens.shape[1], opts),
-            kv_int8=opts.kv_cache_dtype == "int8",
+            kv_bits={"int8": 8, "int4": 4}.get(opts.kv_cache_dtype, 0),
             cross_impl=self._cross_impl(opts),
         )
         # Replicate only the prompt-filled *self* cache per beam:

@@ -32,17 +32,20 @@ Array = jax.Array
 Cache = Any  # nested dict of arrays
 
 
-def quantize_kv(x: Array) -> tuple[Array, Array]:
-    """Per-(token, head) symmetric int8 quantization of K/V tensors.
+def quantize_kv(x: Array, bits: int = 8) -> tuple[Array, Array]:
+    """Per-(token, head) symmetric int8/int4 quantization of K/V tensors.
 
-    Returns (int8 values, fp32 scales with a trailing singleton dim). Halves
-    the HBM traffic of cache reads and beam-reorder gathers — the dominant
-    per-step cost of batched beam decode — at negligible accuracy cost.
+    Returns (quantized values, fp32 scales with a trailing singleton dim).
+    int8 halves the HBM traffic of cache reads and beam-reorder gathers —
+    the dominant per-step cost of batched beam decode — at negligible
+    accuracy cost; ``bits=4`` (packed s4) halves it again (experimental —
+    per-(token, head) scales bound the error, real-weight WER unvalidated).
     """
+    qmax = 7.0 if bits == 4 else 127.0
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = amax / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-8)), -127, 127)
-    return q.astype(jnp.int8), scale
+    scale = amax / qmax
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-8)), -qmax, qmax)
+    return q.astype(jnp.int4 if bits == 4 else jnp.int8), scale
 
 
 def dequantize_kv(q: Array, scale: Array, dtype) -> Array:
@@ -401,10 +404,11 @@ class MultiHeadAttention(nn.Module):
             i = cache_layer
             at = (0, i, cache_index, 0, 0)
             ins = lambda u: u[:, None]  # (B, Tq, H, Dh) -> (B, 1, Tq, H, Dh)
-            if cache["k"].dtype == jnp.int8:
-                # Quantized cache: store int8 values + per-(token, head) scales.
-                qk, kss = quantize_kv(k)
-                qv, vss = quantize_kv(v)
+            if cache["k"].dtype in (jnp.int8, jnp.int4):
+                # Quantized cache: int8/int4 values + per-(token, head) scales.
+                kv_bits = 4 if cache["k"].dtype == jnp.int4 else 8
+                qk, kss = quantize_kv(k, bits=kv_bits)
+                qv, vss = quantize_kv(v, bits=kv_bits)
                 k_buf = jax.lax.dynamic_update_slice(cache["k"], ins(qk), at)
                 v_buf = jax.lax.dynamic_update_slice(cache["v"], ins(qv), at)
                 ks_buf = jax.lax.dynamic_update_slice(cache["k_scale"], ins(kss), at)
@@ -747,11 +751,11 @@ class Whisper(nn.Module):
         L = cfg.n_text_layer
         shape = (batch, L, cache_len or cfg.n_text_ctx, cfg.n_text_head, head_dim)
 
-        if dt == jnp.int8:
+        if dt in (jnp.int8, jnp.int4):
             sshape = shape[:-1] + (1,)
             stacked = {
-                "k": jnp.zeros(shape, jnp.int8),
-                "v": jnp.zeros(shape, jnp.int8),
+                "k": jnp.zeros(shape, dt),
+                "v": jnp.zeros(shape, dt),
                 "k_scale": jnp.zeros(sshape, jnp.float32),
                 "v_scale": jnp.zeros(sshape, jnp.float32),
             }
