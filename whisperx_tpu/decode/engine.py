@@ -210,9 +210,8 @@ class WhisperEngine:
             cross_impl=self._cross_impl(opts),
         )
         # Replicate only the prompt-filled *self* cache per beam:
-        # (B, L, ...) -> (B*K, L, ...) on the stacked batch-leading buffers.
-        # Cross K/V stay per batch element and are bound into the step
-        # closure (loop constants, not carried state).
+        # (B, ...) -> (B*K, ...). Cross K/V stay per batch element and are
+        # bound into the step closure (loop constants, not carried state).
         expanded_self = jax.tree_util.tree_map(lambda a: jnp.repeat(a, K, axis=0), cache["self"])
         tokens, sum_lp, lengths = beam_decode(
             self._step_fn(params, cache["cross"]),

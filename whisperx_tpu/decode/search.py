@@ -187,13 +187,12 @@ def greedy_decode(
 
 
 def _gather_cache(self_cache, flat_idx):
-    """Reorder the stacked (B*K, L, T, H, Dh) self cache by beam indices.
+    """Reorder the per-layer (B*K, T, H, Dh) self cache by beam indices.
 
-    The cache is STACKED over layers with batch LEADING (models/whisper.py
-    empty_cache), so the beam reorder is ONE large contiguous axis-0 gather
-    per tensor kind instead of 4*L per-layer gathers — each gathered row is
-    a whole (L*T*H*Dh) slab, streaming at near peak HBM bandwidth (an
-    (L, B, ...) layout's axis-1 gather measured 3x slower on chip).
+    Per-layer axis-0 gathers are the measured in-loop winner (r4 probes:
+    5.0 ms/step forced vs 16.5-50.2 for every stacked variant — standalone
+    gather rankings did not survive the scan context; see
+    models/whisper.py MultiHeadAttention.__call__ for the numbers).
     Cross-attention K/V stay at batch granularity (shared across beams — see
     MultiHeadAttention's beam grouping), live outside the loop carry as
     while-loop constants, and are never reindexed.

@@ -336,9 +336,8 @@ class MultiHeadAttention(nn.Module):
         x: Array,  # (B, T_q, D)
         *,
         mask: Optional[Array] = None,  # additive, broadcastable to (B,H,Tq,Tkv)
-        cache: Optional[dict] = None,  # {"k","v"} STACKED (B, L, T_cache, H, Dh)
+        cache: Optional[dict] = None,  # {"k","v"} per-layer (B, T_cache, H, Dh)
         cache_index: Optional[Array] = None,
-        cache_layer: int = 0,  # static layer index into the stacked cache
         precomputed_kv: Optional[tuple] = None,
     ):
         head_dim = self.d_model // self.n_head
@@ -392,40 +391,34 @@ class MultiHeadAttention(nn.Module):
 
         new_cache = None
         if cache is not None:
-            # STACKED cache: every buffer is (B, L, T, H, Dh) holding all
-            # layers, and `cache_layer` (a static int) selects this layer's
-            # slab. One big BATCH-LEADING buffer per tensor kind keeps the
-            # beam-search reorder a SINGLE large contiguous axis-0 gather
-            # (search.py _gather_cache) instead of 4*L small per-layer
-            # gathers. Batch-leading matters: the on-chip probe measured an
-            # (L, B, ...) layout's axis-1 gather at 16.5 ms/step vs 5.0 for
-            # per-layer axis-0 — XLA lowers non-leading-axis gathers as
-            # strided copies, while axis 0 streams whole (L*T*H*Dh) rows.
-            i = cache_layer
-            at = (0, i, cache_index, 0, 0)
-            ins = lambda u: u[:, None]  # (B, Tq, H, Dh) -> (B, 1, Tq, H, Dh)
+            # PER-LAYER cache buffers (B, T, H, Dh). Layout verdict from the
+            # r4 on-chip probes: stacked all-layer slabs looked attractive
+            # for the beam reorder but measured WORSE inside the decode loop
+            # — forced reorder per step: per-layer axis-0 take 5.0 ms,
+            # stacked (L,B,..) axis-1 16.5, stacked (B,L,..) axis-0 28.1,
+            # one-hot matmul on stacked 50.2 (standalone gather_probe.py
+            # rankings did not transfer into the scan context). Per-layer
+            # rows (~164 KB) stream well and the 4*L small gathers pipeline
+            # with the forward.
+            at = (0, cache_index, 0, 0)
             if cache["k"].dtype in (jnp.int8, jnp.int4):
                 # Quantized cache: int8/int4 values + per-(token, head) scales.
                 kv_bits = 4 if cache["k"].dtype == jnp.int4 else 8
                 qk, kss = quantize_kv(k, bits=kv_bits)
                 qv, vss = quantize_kv(v, bits=kv_bits)
-                k_buf = jax.lax.dynamic_update_slice(cache["k"], ins(qk), at)
-                v_buf = jax.lax.dynamic_update_slice(cache["v"], ins(qv), at)
-                ks_buf = jax.lax.dynamic_update_slice(cache["k_scale"], ins(kss), at)
-                vs_buf = jax.lax.dynamic_update_slice(cache["v_scale"], ins(vss), at)
+                k_buf = jax.lax.dynamic_update_slice(cache["k"], qk, at)
+                v_buf = jax.lax.dynamic_update_slice(cache["v"], qv, at)
+                ks_buf = jax.lax.dynamic_update_slice(cache["k_scale"], kss, at)
+                vs_buf = jax.lax.dynamic_update_slice(cache["v_scale"], vss, at)
                 new_cache = {"k": k_buf, "v": v_buf, "k_scale": ks_buf, "v_scale": vs_buf}
-                k, ks = k_buf[:, i], ks_buf[:, i]
-                v, vs = v_buf[:, i], vs_buf[:, i]
+                k, ks = k_buf, ks_buf
+                v, vs = v_buf, vs_buf
             else:
                 # Scatter this step's K/V into the static ring buffer.
-                k_buf = jax.lax.dynamic_update_slice(
-                    cache["k"], ins(k.astype(cache["k"].dtype)), at
-                )
-                v_buf = jax.lax.dynamic_update_slice(
-                    cache["v"], ins(v.astype(cache["v"].dtype)), at
-                )
+                k_buf = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), at)
+                v_buf = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), at)
                 new_cache = {"k": k_buf, "v": v_buf}
-                k, v = k_buf[:, i], v_buf[:, i]
+                k, v = k_buf, v_buf
 
         # Beam grouping: cross-attention K/V are shared by all beams of one
         # batch element, so they stay (B, S, H, Dh) while queries arrive as
@@ -561,13 +554,12 @@ class DecoderBlock(nn.Module):
         self.mlp_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.mlp = MLP(self.d_model, dtype=self.dtype, quantized=self.quantized, quant_bits=self.quant_bits)
 
-    def __call__(self, x, *, self_cache, cache_index, cache_layer, cross_kv, self_mask):
+    def __call__(self, x, *, self_cache, cache_index, cross_kv, self_mask):
         h, new_self_cache = self.attn(
             self.attn_ln(x).astype(self.dtype),
             mask=self_mask,
             cache=self_cache,
             cache_index=cache_index,
-            cache_layer=cache_layer,
         )
         x = x + h
         h, _ = self.cross_attn(
@@ -648,25 +640,21 @@ class TextDecoder(nn.Module):
         # Causal mask against the static cache: query at absolute position
         # cache_index + t sees cache slots [0, cache_index + t]. The cache may
         # be shorter than n_text_ctx (sized to prompt+max_new by the engine).
-        # Self-cache buffers are STACKED (B, L, T, H, Dh): one batch-leading
-        # buffer per tensor kind for all layers, threaded whole through the
-        # blocks (each block dynamic-update-slices its layer-`i` slab).
-        cache_len = cache["self"]["k"].shape[2]
+        cache_len = cache["self"][0]["k"].shape[1]
         q_pos = cache_index + jnp.arange(T)[:, None]
         k_pos = jnp.arange(cache_len)[None, :]
         self_mask = jnp.where(k_pos <= q_pos, 0.0, NEG_MASK).astype(jnp.float32)
 
-        self_cache = cache["self"]
+        new_cache = {"self": [], "cross": cache["cross"]}
         for i, block in enumerate(self.layers):
-            x, self_cache = block(
+            x, new_self = block(
                 x,
-                self_cache=self_cache,
+                self_cache=cache["self"][i],
                 cache_index=cache_index,
-                cache_layer=i,
                 cross_kv=cache["cross"][i],
                 self_mask=self_mask,
             )
-        new_cache = {"self": self_cache, "cross": cache["cross"]}
+            new_cache["self"].append(new_self)
 
         x = self.ln(x)
         logits = jnp.einsum(
@@ -740,29 +728,28 @@ class Whisper(nn.Module):
         n_text_ctx (prompt+max_new); ``cache_dtype=jnp.int8`` adds per-token
         scale planes and halves cache HBM traffic.
 
-        The "self" entry is a single dict of STACKED (B, L, T, H, Dh)
-        batch-leading buffers covering all layers, so the beam-search reorder
-        is one large contiguous axis-0 gather per tensor kind instead of 4*L
-        small per-layer gathers. "cross" stays a per-layer list (filled by
-        the engine)."""
+        The "self" entry is a per-layer list of (B, T, H, Dh) buffer dicts —
+        the layout the r4 on-chip probes crowned for in-loop beam reorders
+        (see MultiHeadAttention.__call__). "cross" is a per-layer list
+        (filled by the engine)."""
         cfg = self.config
         dt = cache_dtype or self.dtype
         head_dim = cfg.n_text_state // cfg.n_text_head
         L = cfg.n_text_layer
-        shape = (batch, L, cache_len or cfg.n_text_ctx, cfg.n_text_head, head_dim)
+        shape = (batch, cache_len or cfg.n_text_ctx, cfg.n_text_head, head_dim)
 
-        if dt in (jnp.int8, jnp.int4):
-            sshape = shape[:-1] + (1,)
-            stacked = {
-                "k": jnp.zeros(shape, dt),
-                "v": jnp.zeros(shape, dt),
-                "k_scale": jnp.zeros(sshape, jnp.float32),
-                "v_scale": jnp.zeros(sshape, jnp.float32),
-            }
-        else:
-            stacked = {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+        def one_layer():
+            if dt in (jnp.int8, jnp.int4):
+                sshape = shape[:-1] + (1,)
+                return {
+                    "k": jnp.zeros(shape, dt),
+                    "v": jnp.zeros(shape, dt),
+                    "k_scale": jnp.zeros(sshape, jnp.float32),
+                    "v_scale": jnp.zeros(sshape, jnp.float32),
+                }
+            return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
-        return {"self": stacked, "cross": [None] * L}
+        return {"self": [one_layer() for _ in range(L)], "cross": [None] * L}
 
 
 def random_params_like(shapes, seed: int = 0, scale: float = 0.02):
