@@ -132,9 +132,26 @@ def main():
         ]
         align_meta = {"language": "en", "dictionary": align_model.dictionary, "type": "jax"}
 
+    # BENCH_FALLBACK=1: add one worst-case temperature-fallback round to the
+    # measured loop — every chunk re-decoded greedily at temperature 0.2 with
+    # best_of sampled candidates folded into the batch rows (the pipeline's
+    # _temperature_fallback shape). Measures the ladder's marginal cost when
+    # ALL chunks fail the quality gate (VERDICT r3 weak item 6).
+    with_fallback = os.environ.get("BENCH_FALLBACK", "0") == "1"
+    fb_opts = None
+    if with_fallback:
+        import dataclasses as _dc
+
+        import jax as _jax
+
+        fb_opts = _dc.replace(opts, beam_size=1, temperature=0.2)
+        fb_rng = _jax.random.PRNGKey(0)
+
     def run(sync=True):
         mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels).astype(jnp.bfloat16)
         out = engine.generate(params, mel, options=opts, sync=sync)
+        if with_fallback:
+            out = engine.generate(params, mel, options=fb_opts, rng=fb_rng, sync=sync)
         if with_align:
             align(
                 [dict(s) for s in align_transcript],
@@ -171,6 +188,8 @@ def main():
     audio_seconds = batch * 30.0
     xrt = audio_seconds / dt
     suffix = "_align" if with_align else ""
+    if with_fallback:
+        suffix += "_fb"
     if knobs["quant"]:
         suffix += f"_{knobs['quant']}"
     print(
