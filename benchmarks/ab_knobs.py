@@ -108,3 +108,6 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+# Appended r4: worst-case fallback ladder cost (all chunks re-decoded once).
+CONFIGS["fallback-worst"] = {"BENCH_FALLBACK": "1"}
