@@ -55,19 +55,17 @@ CONFIGS = {
         "BENCH_BATCH": "16",
         "BENCH_ALIGN_BATCH": "16",
     },
-    # r4: stacked-cache reorder impls (benchmarks/gather_probe.py ranked
-    # onehot-matmul ~3.8 ms vs take's 6.6-9.5 on the stacked layout).
+    # r4: cache-reorder impls on the per-layer tree (stacked layouts were
+    # probed and rejected — see models/whisper.py MultiHeadAttention).
     "reorder-take": {"WHISPERX_REORDER": "take"},
     "reorder-onehot": {"WHISPERX_REORDER": "onehot"},
-    "reorder-onehot-nocond": {"WHISPERX_REORDER": "onehot", "WHISPERX_REORDER_COND": "0"},
+    "reorder-nocond": {"WHISPERX_REORDER_COND": "0"},
     # r4: experimental half-width storage (weights / KV).
-    "quant-int4": {"BENCH_QUANT": "int4", "WHISPERX_REORDER": "onehot"},
-    "kv-int4": {"BENCH_KV": "int4", "WHISPERX_REORDER": "onehot"},
-    "int4-combo": {
-        "BENCH_QUANT": "int4",
-        "BENCH_KV": "int4",
-        "WHISPERX_REORDER": "onehot",
-    },
+    "quant-int4": {"BENCH_QUANT": "int4"},
+    "kv-int4": {"BENCH_KV": "int4"},
+    "int4-combo": {"BENCH_QUANT": "int4", "BENCH_KV": "int4"},
+    # r4: worst-case fallback ladder cost (all chunks re-decoded once).
+    "fallback-worst": {"BENCH_FALLBACK": "1"},
 }
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AB_RESULTS.json")
@@ -109,5 +107,3 @@ def main():
 if __name__ == "__main__":
     main()
 
-# Appended r4: worst-case fallback ladder cost (all chunks re-decoded once).
-CONFIGS["fallback-worst"] = {"BENCH_FALLBACK": "1"}
