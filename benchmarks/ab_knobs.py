@@ -66,6 +66,11 @@ CONFIGS = {
     "int4-combo": {"BENCH_QUANT": "int4", "BENCH_KV": "int4"},
     # r4: worst-case fallback ladder cost (all chunks re-decoded once).
     "fallback-worst": {"BENCH_FALLBACK": "1"},
+    # r4: beam token-history bookkeeping (search._history_impl). The r4 "base"
+    # run predates the backptr default and measured gather; "history-backptr"
+    # is its paired decode-only run.
+    "history-backptr": {"WHISPERX_BEAM_HISTORY": "backptr"},
+    "history-gather": {"WHISPERX_BEAM_HISTORY": "gather"},
 }
 
 RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "AB_RESULTS.json")

@@ -234,3 +234,59 @@ def test_beam_reorder_impls_agree(monkeypatch):
     base = outs[("take", "1")]
     for key, toks in outs.items():
         np.testing.assert_array_equal(base, toks, err_msg=str(key))
+
+
+def test_beam_history_impls_agree(monkeypatch):
+    """WHISPERX_BEAM_HISTORY=backptr (parent-pointer tables + one
+    end-of-decode reconstruction scan) must decode identically to =gather
+    (full per-step token-buffer reorders) across patience and length-penalty
+    regimes — including the alive-fallback path (EOT banned)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+
+    scenarios = [
+        {"patience": 1.0, "length_penalty": 1.0},
+        {"patience": 2.0, "length_penalty": 0.5},
+    ]
+    for sc_idx, sc in enumerate(scenarios):
+        outs = {}
+        for impl in ("gather", "backptr"):
+            monkeypatch.setenv("WHISPERX_BEAM_HISTORY", impl)
+            engine = WhisperEngine(model, tok)
+            opts = engine.build_options(beam_size=3, max_new_tokens=6, **sc)
+            # distinct static opts per impl so the jit cache cannot alias
+            opts = dataclasses.replace(
+                opts, patience=sc["patience"] + 0.0001 * (len(outs) + 2 * sc_idx)
+            )
+            res = engine.generate(params, mel, options=opts)
+            outs[impl] = (np.asarray(res.tokens), np.asarray(res.sum_logprobs))
+        np.testing.assert_array_equal(outs["gather"][0], outs["backptr"][0], err_msg=str(sc))
+        np.testing.assert_allclose(outs["gather"][1], outs["backptr"][1], rtol=1e-6)
+
+    # Alive-fallback regime: EOT banned, nothing ever finishes.
+    outs = {}
+    for impl in ("gather", "backptr"):
+        monkeypatch.setenv("WHISPERX_BEAM_HISTORY", impl)
+        engine = WhisperEngine(model, tok)
+        opts = engine.build_options(beam_size=3, max_new_tokens=6)
+        opts = dataclasses.replace(
+            opts,
+            banned_tokens=opts.banned_tokens + (opts.eot,),
+            patience=1.0 + 0.0001 * (len(outs) + 10),
+        )
+        res = engine.generate(params, mel, options=opts)
+        outs[impl] = np.asarray(res.tokens)
+    np.testing.assert_array_equal(outs["gather"], outs["backptr"])

@@ -235,6 +235,60 @@ def _reorder_impl() -> str:
     return impl
 
 
+def _history_impl() -> str:
+    """Beam token-history bookkeeping impl (trace-time env knob
+    WHISPERX_BEAM_HISTORY):
+
+    - "gather" — carry full (B, K, max_new) alive/finished token buffers and
+      reorder them with take_along_axis every step (three history gathers +
+      a 3K-wide concat per step).
+    - "backptr" — carry only (max_new, B, K) token/parent tables written with
+      one dynamic_update_slice each per step; the winning hypothesis is
+      reconstructed once after the loop by a reverse lax.scan over the
+      backpointers. Removes every per-step history gather from the hot loop —
+      the CT2 C++ loop the reference rides keeps hypotheses as linked
+      parent pointers for the same reason (whisperx/asr.py:53-62).
+    """
+    import os
+
+    impl = os.environ.get("WHISPERX_BEAM_HISTORY", "backptr")
+    if impl not in ("gather", "backptr"):
+        raise ValueError(
+            f"unknown WHISPERX_BEAM_HISTORY={impl!r}: expected gather|backptr"
+        )
+    return impl
+
+
+def _reconstruct_path(tok_tab, par_tab, lane, end_step, eot: int):
+    """Walk the backpointer tables to materialize one hypothesis per row.
+
+    tok_tab/par_tab: (max_new, B, K) — token written by / parent lane of the
+    alive lane at each step. ``lane`` (B,) is the lane index of the winning
+    hypothesis *entering* step ``end_step`` (B,), i.e. the lane whose token
+    occupies position end_step-1. Position end_step and beyond are filled
+    with EOT. Returns (B, max_new) int32.
+    """
+    max_new, B, K = tok_tab.shape
+
+    def back(carry, xs):
+        lane = carry
+        t, tok_t, par_t = xs
+        emit = jnp.where(
+            t >= end_step,
+            jnp.full((B,), eot, jnp.int32),
+            jnp.take_along_axis(tok_t, lane[:, None], axis=1)[:, 0],
+        )
+        prev = jnp.take_along_axis(par_t, lane[:, None], axis=1)[:, 0]
+        lane = jnp.where(t >= end_step, lane, prev)
+        return lane, emit
+
+    ts = jnp.arange(max_new - 1, -1, -1)
+    _, toks_rev = jax.lax.scan(
+        back, lane, (ts, tok_tab[::-1], par_tab[::-1])
+    )
+    return toks_rev[::-1].T  # (B, max_new)
+
+
 def _reorder_always() -> bool:
     """When true, skip the lax.cond identity-bypass and reorder every step.
 
@@ -269,6 +323,7 @@ def beam_decode(
     suppress = jnp.asarray(_static_suppress_mask(V, opts))
     first_mask = jnp.asarray(_first_step_mask(V, opts))
     topk = _resolve_topk(opts)
+    backptr = _history_impl() == "backptr"
 
     # Alive state: (B, K). Beam 0 starts live, others at -inf so the first
     # expansion draws K distinct tokens from the single prompt distribution.
@@ -278,7 +333,8 @@ def beam_decode(
     logits0 = jnp.tile(logprobs0[:, None, :], (1, K, 1))  # (B, K, V)
 
     def cond(state):
-        step, _, _, _, _, fin_scores, fin_count, alive_scores, _ = state
+        step, _, _, _, fin, fin_count, alive_scores, _ = state
+        fin_scores = fin[0]
         can_continue = step < max_new
         # Early exit: enough finished and no alive beam can beat the worst
         # kept finished hypothesis even with a perfect (0 logprob) future.
@@ -288,7 +344,7 @@ def beam_decode(
         return can_continue & ~jnp.all(saturated)
 
     def body(state):
-        (step, logprobs, cache, alive_toks, fin_toks, fin_scores, fin_count, alive_scores, _) = state
+        (step, logprobs, cache, hist, fin, fin_count, alive_scores, _) = state
         # logprobs: (B, K, V) log-softmaxed + suppressed next-token dists.
         cand = alive_scores[:, :, None] + logprobs  # (B, K, V)
         flat = cand.reshape(B, K * V)
@@ -301,14 +357,6 @@ def beam_decode(
         # --- finished merge: candidates ending in EOT → top-K finished ----
         eot_pen = length_penalized(top_scores, step + 1, opts.length_penalty)
         eot_pen = jnp.where(is_eot, eot_pen, NEG_INF)
-        # Token history of each EOT candidate = alive_toks[beam] + EOT pad.
-        cand_toks = jnp.take_along_axis(alive_toks, beam_idx[:, :, None], axis=1)  # (B,2K,L)
-        cand_toks = cand_toks.at[:, :, step].set(opts.eot)
-        all_fin_scores = jnp.concatenate([fin_scores, eot_pen], axis=1)  # (B, K+2K)
-        all_fin_toks = jnp.concatenate([fin_toks, cand_toks], axis=1)
-        keep_scores, keep_idx = jax.lax.top_k(all_fin_scores, K)
-        fin_toks = jnp.take_along_axis(all_fin_toks, keep_idx[:, :, None], axis=1)
-        fin_scores = keep_scores
         fin_count = fin_count + jnp.sum(is_eot, axis=1)
 
         # --- alive selection: best K non-EOT of the 2K candidates ----------
@@ -317,8 +365,44 @@ def beam_decode(
         new_beam = jnp.take_along_axis(beam_idx, pick, axis=1)
         new_tok = jnp.take_along_axis(tok_idx, pick, axis=1)
 
-        new_toks = jnp.take_along_axis(alive_toks, new_beam[:, :, None], axis=1)
-        new_toks = new_toks.at[:, :, step].set(new_tok)
+        if backptr:
+            (tok_tab, par_tab) = hist
+            (fin_scores, fin_step, fin_beam) = fin
+            # Finished bookkeeping on scalars only: score + (end step, lane).
+            all_fin_scores = jnp.concatenate([fin_scores, eot_pen], axis=1)  # (B, 3K)
+            all_fin_step = jnp.concatenate(
+                [fin_step, jnp.full((B, 2 * K), step, jnp.int32)], axis=1
+            )
+            all_fin_beam = jnp.concatenate([fin_beam, beam_idx], axis=1)
+            fin_scores, keep_idx = jax.lax.top_k(all_fin_scores, K)
+            fin_step = jnp.take_along_axis(all_fin_step, keep_idx, axis=1)
+            fin_beam = jnp.take_along_axis(all_fin_beam, keep_idx, axis=1)
+            fin = (fin_scores, fin_step, fin_beam)
+            # History: one token + one parent write per step (35 KB each at
+            # the flagship shape) instead of three (B, K, max_new) gathers.
+            tok_tab = jax.lax.dynamic_update_index_in_dim(
+                tok_tab, new_tok.astype(jnp.int32), step, axis=0
+            )
+            par_tab = jax.lax.dynamic_update_index_in_dim(
+                par_tab, new_beam.astype(jnp.int32), step, axis=0
+            )
+            hist = (tok_tab, par_tab)
+        else:
+            (alive_toks, fin_toks) = hist
+            fin_scores = fin[0]
+            # Token history of each EOT candidate = alive_toks[beam] + EOT pad.
+            cand_toks = jnp.take_along_axis(alive_toks, beam_idx[:, :, None], axis=1)  # (B,2K,L)
+            cand_toks = cand_toks.at[:, :, step].set(opts.eot)
+            all_fin_scores = jnp.concatenate([fin_scores, eot_pen], axis=1)  # (B, K+2K)
+            all_fin_toks = jnp.concatenate([fin_toks, cand_toks], axis=1)
+            keep_scores, keep_idx = jax.lax.top_k(all_fin_scores, K)
+            fin_toks = jnp.take_along_axis(all_fin_toks, keep_idx[:, :, None], axis=1)
+            fin_scores = keep_scores
+            fin = (fin_scores,)
+
+            new_toks = jnp.take_along_axis(alive_toks, new_beam[:, :, None], axis=1)
+            new_toks = new_toks.at[:, :, step].set(new_tok)
+            hist = (new_toks, fin_toks)
 
         flat_idx = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
         if _reorder_always():
@@ -340,37 +424,62 @@ def beam_decode(
         step_tokens = new_tok.reshape(B * K, 1).astype(jnp.int32)
         logits, cache = step_fn(step_tokens, cache, prompt_len + step)
         lp = jax.nn.log_softmax(logits[:, -1] + suppress, axis=-1).reshape(B, K, V)
-        return (step + 1, lp, cache, new_toks, fin_toks, fin_scores, fin_count, new_scores, new_tok)
+        return (step + 1, lp, cache, hist, fin, fin_count, new_scores, new_tok)
 
+    if backptr:
+        hist0 = (
+            jnp.zeros((max_new, B, K), jnp.int32),
+            jnp.zeros((max_new, B, K), jnp.int32),
+        )
+        fin0 = (
+            jnp.full((B, K), NEG_INF, jnp.float32),
+            jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B, K), jnp.int32),
+        )
+    else:
+        hist0 = (
+            jnp.full((B, K, max_new), opts.eot, jnp.int32),
+            jnp.full((B, K, max_new), opts.eot, jnp.int32),
+        )
+        fin0 = (jnp.full((B, K), NEG_INF, jnp.float32),)
     state = (
         jnp.int32(0),
         logits0,
         expanded_cache,
-        jnp.full((B, K, max_new), opts.eot, jnp.int32),
-        jnp.full((B, K, max_new), opts.eot, jnp.int32),
-        jnp.full((B, K), NEG_INF, jnp.float32),
+        hist0,
+        fin0,
         jnp.zeros((B,), jnp.int32),
         alive_scores0,
         jnp.zeros((B, K), jnp.int32),
     )
-    (step, _, _, alive_toks, fin_toks, fin_scores, fin_count, alive_scores, _) = jax.lax.while_loop(
+    (step, _, _, hist, fin, fin_count, alive_scores, _) = jax.lax.while_loop(
         cond, body, state
     )
+    fin_scores = fin[0]
 
     # Prefer the best finished hypothesis; fall back to best alive (ran out of
     # steps without EOT — the reference's CT2 behaves the same way).
     have_finished = fin_count > 0
     alive_pen = length_penalized(alive_scores, step, opts.length_penalty)
     best_alive_idx = jnp.argmax(alive_pen, axis=1)
-    best_alive_toks = jnp.take_along_axis(
-        alive_toks, best_alive_idx[:, None, None], axis=1
-    )[:, 0]
     best_alive_score = jnp.take_along_axis(alive_scores, best_alive_idx[:, None], axis=1)[:, 0]
+    best_fin_score = fin_scores[:, 0]  # fin buffers are sorted by top_k
 
-    best_fin_toks = fin_toks[:, 0]  # fin buffers are sorted by top_k
-    best_fin_score = fin_scores[:, 0]
-
-    tokens = jnp.where(have_finished[:, None], best_fin_toks, best_alive_toks)
+    if backptr:
+        (tok_tab, par_tab) = hist
+        (_, fin_step, fin_beam) = fin
+        # One reconstruction walk for the winning hypothesis per row: lane
+        # entering the end step, EOT at end_step, EOT-padded beyond.
+        lane = jnp.where(have_finished, fin_beam[:, 0], best_alive_idx)
+        end_step = jnp.where(have_finished, fin_step[:, 0], step)
+        tokens = _reconstruct_path(tok_tab, par_tab, lane, end_step, opts.eot)
+    else:
+        (alive_toks, fin_toks) = hist
+        best_alive_toks = jnp.take_along_axis(
+            alive_toks, best_alive_idx[:, None, None], axis=1
+        )[:, 0]
+        best_fin_toks = fin_toks[:, 0]
+        tokens = jnp.where(have_finished[:, None], best_fin_toks, best_alive_toks)
     # Recover the raw (unpenalized) cumulative logprob for finished rows:
     lengths = jnp.sum(tokens != opts.eot, axis=1) + 1
     raw_fin = best_fin_score * (((5.0 + lengths) / 6.0) ** opts.length_penalty)
