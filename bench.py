@@ -108,7 +108,7 @@ def main():
     with_align = os.environ.get("BENCH_ALIGN", "1") == "1"
     align_model = None
     if with_align:
-        from whisperx_tpu.align.alignment import align, test_align_model
+        from whisperx_tpu.align.alignment import align_begin, test_align_model
         from whisperx_tpu.models.configs import WAV2VEC2_BASE
 
         align_model = test_align_model("en", config=WAV2VEC2_BASE, dtype=jnp.bfloat16)
@@ -152,16 +152,24 @@ def main():
         out = engine.generate(params, mel, options=opts, sync=sync)
         if with_fallback:
             out = engine.generate(params, mel, options=fb_opts, rng=fb_rng, sync=sync)
+        job = None
         if with_align:
-            align(
+            # Deferred handle: device align work is dispatched now; host
+            # post-processing (finish()) runs only after the NEXT batch's
+            # decode has been dispatched, so it overlaps accelerator compute
+            # exactly like the production align stage (align/alignment.py
+            # AlignJob).
+            job = align_begin(
                 [dict(s) for s in align_transcript],
                 align_model,
                 align_meta,
                 flat_audio,
             )
-        return out
+        return out, job
 
-    run()  # compile (excluded)
+    out, job = run()  # compile (excluded)
+    if job is not None:
+        job.finish()
     # Timed loop keeps one batch in flight (engine.generate(sync=False)),
     # exactly like the production transcribe loop: the chip executes
     # back-to-back while the host consumes the previous batch. Per-iteration
@@ -177,10 +185,14 @@ def main():
     for _ in range(iters):
         out = run(sync=False)
         if prev is not None:
-            np.asarray(prev.tokens)  # consume (blocks until that batch is done)
+            np.asarray(prev[0].tokens)  # consume (blocks until that batch is done)
+            if prev[1] is not None:
+                prev[1].finish()
             stamps.append(time.perf_counter())
         prev = out
-    np.asarray(prev.tokens)
+    np.asarray(prev[0].tokens)
+    if prev[1] is not None:
+        prev[1].finish()
     stamps.append(time.perf_counter())
     bounds = [t0] + stamps
     dt = float(np.median([b - a for a, b in zip(bounds[:-1], bounds[1:])]))

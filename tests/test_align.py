@@ -143,6 +143,36 @@ def test_align_with_random_wav2vec2_smoke():
                 assert 0.0 <= w["start"] <= w["end"] <= 3.0 + 0.1
 
 
+def test_align_begin_deferred_matches_sync():
+    """align_begin + interleaved device work + finish() == synchronous align.
+
+    The deferred handle exists so callers overlap align host post-processing
+    with the next decode dispatch (no reference counterpart; the reference
+    aligns serially, whisperx/alignment.py:174). finish() must be idempotent
+    and the result identical to align()'s."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.align.alignment import align_begin
+
+    model = test_align_model("en")
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal(3 * SR) * 0.1).astype(np.float32)
+    transcript = [
+        {"start": 0.1, "end": 1.4, "text": " hello there"},
+        {"start": 1.5, "end": 2.8, "text": " general kenobi"},
+    ]
+    meta = {"language": "en", "dictionary": model.dictionary, "type": "jax"}
+    sync = align([dict(s) for s in transcript], model, meta, audio)
+
+    job = align_begin([dict(s) for s in transcript], model, meta, audio)
+    # Unrelated device work dispatched between begin and finish (the overlap
+    # the handle is for) must not perturb the result.
+    _ = jnp.dot(jnp.ones((64, 64)), jnp.ones((64, 64))).block_until_ready()
+    deferred = job.finish()
+    assert deferred == sync
+    assert job.finish() is deferred  # idempotent
+
+
 def test_align_bf16_compute_dtype():
     """bf16 wav2vec2 compute (TPU default) preserves alignment structure —
     emissions cast to fp32 before log-softmax (models/wav2vec2.py lm_head)."""

@@ -18,7 +18,7 @@ beam search, batched wav2vec2 CTC forced alignment via a lax.scan trellis,
 on-device VAD scoring, and speaker-embedding diarization.
 """
 
-from .align.alignment import align, load_align_model
+from .align.alignment import AlignJob, align, align_begin, load_align_model
 from .audio.io import load_audio
 from .diarize.assign import assign_word_speakers
 from .diarize.pipeline import DiarizationPipeline

@@ -327,6 +327,29 @@ def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
     return results
 
 
+class AlignJob:
+    """Deferred alignment handle (no reference counterpart).
+
+    ``align_begin`` dispatches all device work (wav2vec2 emissions + CTC
+    trellis + backtrack, one program per batch) WITHOUT blocking on results;
+    ``finish()`` fetches them and runs the host aggregation passes. Callers
+    that have more device work to enqueue (the next file's decode batches,
+    the next align batch) dispatch it between the two so host post-processing
+    overlaps accelerator compute — the reference aligns strictly serially
+    (whisperx/alignment.py:174, segment loop on one device).
+    """
+
+    def __init__(self, finish_fn):
+        self._finish_fn = finish_fn
+        self._result = None
+
+    def finish(self) -> AlignedTranscriptionResult:
+        if self._finish_fn is not None:
+            self._result = self._finish_fn()
+            self._finish_fn = None
+        return self._result
+
+
 def align(
     transcript: Iterable[SingleSegment],
     model: AlignModel,
@@ -339,6 +362,31 @@ def align(
     combined_progress: bool = False,
 ) -> AlignedTranscriptionResult:
     """Align transcription segments to the audio (reference align() API)."""
+    return align_begin(
+        transcript,
+        model,
+        align_model_metadata,
+        audio,
+        device,
+        interpolate_method=interpolate_method,
+        return_char_alignments=return_char_alignments,
+        print_progress=print_progress,
+        combined_progress=combined_progress,
+    ).finish()
+
+
+def align_begin(
+    transcript: Iterable[SingleSegment],
+    model: AlignModel,
+    align_model_metadata: dict,
+    audio: Union[str, np.ndarray],
+    device=None,
+    interpolate_method: str = "nearest",
+    return_char_alignments: bool = False,
+    print_progress: bool = False,
+    combined_progress: bool = False,
+) -> AlignJob:
+    """Dispatch alignment device work; see AlignJob for the overlap contract."""
     from ..audio.io import load_audio
 
     import time as _time
@@ -398,38 +446,51 @@ def align(
 
     paths_by_sdx = {}
     frames_by_sdx = {}
+    pendings: List[tuple] = []
+    consume = None
+    host_backtrack = None
     if alignable and os.environ.get("WHISPERX_CTC_BACKTRACK", "device") == "host":
         # Two-stage escape hatch: emissions to host, numpy reference walk.
-        emissions = _batched_emissions(model, slices)
-        B = model.max_batch
-        for i in range(0, len(alignable), B):
-            idx = list(range(i, min(i + B, len(alignable))))
-            T_max = max(emissions[j][0].shape[0] for j in idx)
-            logp = np.stack(
-                [
-                    np.pad(emissions[j][0], ((0, T_max - emissions[j][0].shape[0]), (0, 0)))
-                    for j in idx
-                ]
-            )
-            n_real = len(idx)
-            if n_real < B:
-                logp = np.pad(logp, ((0, B - n_real), (0, 0), (0, 0)))
-            group_tokens = [token_lists[j] for j in idx] + [[model.blank_id or 1]] * (B - n_real)
-            group_tlens = [emissions[j][1] for j in idx] + [1] * (B - n_real)
-            paths = align_tokens_batch(
-                logp,
-                group_tokens,
-                group_tlens,
-                blank=model.blank_id,
-            )
-            for row, j in enumerate(idx):
-                paths_by_sdx[alignable[j]] = paths[row]
-                frames_by_sdx[alignable[j]] = emissions[j][1]
+        # Runs entirely at finish() time — it blocks on device results by
+        # construction, so there is nothing useful to dispatch early.
+        def host_backtrack():
+            emissions = _batched_emissions(model, slices)
+            B = model.max_batch
+            for i in range(0, len(alignable), B):
+                idx = list(range(i, min(i + B, len(alignable))))
+                T_max = max(emissions[j][0].shape[0] for j in idx)
+                logp = np.stack(
+                    [
+                        np.pad(
+                            emissions[j][0],
+                            ((0, T_max - emissions[j][0].shape[0]), (0, 0)),
+                        )
+                        for j in idx
+                    ]
+                )
+                n_real = len(idx)
+                if n_real < B:
+                    logp = np.pad(logp, ((0, B - n_real), (0, 0), (0, 0)))
+                group_tokens = [token_lists[j] for j in idx] + [
+                    [model.blank_id or 1]
+                ] * (B - n_real)
+                group_tlens = [emissions[j][1] for j in idx] + [1] * (B - n_real)
+                paths = align_tokens_batch(
+                    logp,
+                    group_tokens,
+                    group_tlens,
+                    blank=model.blank_id,
+                )
+                for row, j in enumerate(idx):
+                    paths_by_sdx[alignable[j]] = paths[row]
+                    frames_by_sdx[alignable[j]] = emissions[j][1]
     elif alignable:
         # Fused device path: audio → emissions → trellis → backtrack in ONE
-        # jit per (batch, bucket, token) signature, with one batch kept in
-        # flight so host path-decoding overlaps device compute — the same
-        # async pattern as the transcribe loop. The reference aligns
+        # jit per (batch, bucket, token) signature. Every batch is dispatched
+        # up front (JAX dispatch is non-blocking; each pending output is a
+        # small (3, B, T'+1) pack) and consumed at finish() time, so host
+        # path-decoding overlaps device compute — including any decode work
+        # the caller enqueues between begin and finish. The reference aligns
         # segment-by-segment on CPU (its TODO at alignment.py:215).
         import jax.numpy as jnp
 
@@ -467,7 +528,6 @@ def align(
                     for x in ks
                 ][::-1]
 
-        in_flight = None
         for i in range(0, len(order), B):
             idx = order[i : i + B]
             max_len = bucket_len(max(len(slices[k]) for k in idx))
@@ -500,11 +560,41 @@ def align(
                     )
             else:
                 out = fwd(model.params, jnp.asarray(wavs), jnp.asarray(tok_pack))
-            if in_flight is not None:
-                consume(in_flight)
-            in_flight = (idx, out)
-        if in_flight is not None:
-            consume(in_flight)
+            pendings.append((idx, out))
+
+    def _finish() -> AlignedTranscriptionResult:
+        if host_backtrack is not None:
+            host_backtrack()
+        for pending in pendings:
+            consume(pending)
+        return _aggregate_result(
+            transcript,
+            paths_by_sdx,
+            frames_by_sdx,
+            max_duration,
+            charwise,
+            interpolate_method,
+            return_char_alignments,
+            _t0,
+        )
+
+    return AlignJob(_finish)
+
+
+def _aggregate_result(
+    transcript,
+    paths_by_sdx,
+    frames_by_sdx,
+    max_duration,
+    charwise,
+    interpolate_method,
+    return_char_alignments,
+    _t0,
+) -> AlignedTranscriptionResult:
+    """Pass 3: char → word → sentence aggregation (host-only, numpy)."""
+    import time as _time
+
+    from ..utils import telemetry
 
     # ---- pass 3: char → word → sentence aggregation ------------------------
     aligned_segments: List[SingleAlignedSegment] = []

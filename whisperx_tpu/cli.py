@@ -20,7 +20,7 @@ from typing import Any, List, Optional
 
 import numpy as np
 
-from .align.alignment import align, load_align_model
+from .align.alignment import align_begin, load_align_model
 from .audio.io import load_audio
 from .diarize.assign import assign_word_speakers
 from .diarize.pipeline import DiarizationPipeline
@@ -316,6 +316,11 @@ def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
     # only the single-file cache persists across stages (memory-bounded).
     need = [job for job in jobs if job.audio is None]
     prefetch = iter(AudioPrefetcher([job.path for job in need]))
+    # One file's align kept in flight: file f's host post-processing
+    # (AlignJob.finish) runs while file f+1's align batches execute on the
+    # accelerator. The reference aligns each file fully serially
+    # (whisperx/transcribe.py:218-227).
+    in_flight = None
     for job in jobs:
         audio = job.audio
         if audio is None:
@@ -332,7 +337,7 @@ def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
             model, metadata = load_align_model(detected, cfg.device)
         if cfg.verbose or cfg.print_progress:
             print(f"[whisperx-tpu] align: {job.path}")
-        job.result = align(
+        handle = align_begin(
             job.result["segments"],
             model,
             metadata,
@@ -342,6 +347,13 @@ def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
             return_char_alignments=cfg.return_char_alignments,
             print_progress=cfg.print_progress,
         )
+        if in_flight is not None:
+            prev_job, prev_handle = in_flight
+            prev_job.result = prev_handle.finish()
+        in_flight = (job, handle)
+    if in_flight is not None:
+        prev_job, prev_handle = in_flight
+        prev_job.result = prev_handle.finish()
     del model
     gc.collect()
 
