@@ -391,8 +391,6 @@ def align_begin(
 
     import time as _time
 
-    from ..utils import telemetry
-
     _t0 = _time.perf_counter()
     if isinstance(audio, str):
         audio = load_audio(audio)
