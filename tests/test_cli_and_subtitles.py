@@ -52,6 +52,47 @@ def test_cli_end_to_end_with_stub_model(tmp_path, monkeypatch):
     assert (tmp_path / "speech.srt").exists()
 
 
+def test_cli_multifile_align_overlap(tmp_path, monkeypatch):
+    """Multi-file CLI run: the align stage keeps one file's AlignJob in
+    flight (cli._align_stage), so file f's result must not leak into file
+    f+1's — every output file gets its own aligned transcript."""
+    import whisperx_tpu.cli as cli_mod
+    from whisperx_tpu.align.alignment import test_align_model
+    from whisperx_tpu.audio.io import write_wav
+    from whisperx_tpu.pipeline.asr import load_test_pipeline
+
+    SR = 16000
+    t = np.arange(2 * SR) / SR
+    paths = []
+    for i, freq in enumerate((210, 330)):
+        audio = (
+            0.4 * np.sin(2 * np.pi * freq * t) * (1 + 0.4 * np.sin(2 * np.pi * 3 * t))
+        ).astype(np.float32)
+        p = str(tmp_path / f"clip{i}.wav")
+        write_wav(p, audio)
+        paths.append(p)
+
+    pipeline = load_test_pipeline(language="en")
+    monkeypatch.setattr(cli_mod, "load_model", lambda *a, **k: pipeline)
+
+    def fake_load_align_model(language, device, model_name=None, **kw):
+        m = test_align_model(language or "en")
+        return m, {"language": language or "en", "dictionary": m.dictionary, "type": "jax"}
+
+    monkeypatch.setattr(cli_mod, "load_align_model", fake_load_align_model)
+
+    cli_mod.cli(paths + ["--model", "tiny", "--output_dir", str(tmp_path),
+                         "--output_format", "json", "--language", "en",
+                         "--batch_size", "2", "--verbose", "False"])
+    import json as _json
+
+    for i in range(2):
+        out = tmp_path / f"clip{i}.json"
+        assert out.exists()
+        data = _json.loads(out.read_text())
+        assert "segments" in data and "word_segments" in data
+
+
 def test_subtitles_processor_splits_long_segment(tmp_path):
     from whisperx_tpu.io.subtitles import SubtitlesProcessor
 
