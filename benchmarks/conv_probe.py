@@ -90,7 +90,7 @@ def main():
     rec("w2v_full_fwd", timeit(fwd, params, audio, iters=iters), batch=B, secs=secs)
 
     # --- conv stack, both impls -------------------------------------------
-    for impl in ("conv", "matmul"):
+    for impl in ("conv", "matmul", "s2d"):
         os.environ["WHISPERX_CONV_IMPL"] = impl
         fe = ConvFeatureExtractor(cfg, dtype=dtype)
         fe_params = fe.init(jax.random.PRNGKey(0), audio[:1, :400])["params"]
@@ -102,7 +102,7 @@ def main():
     t_in = T
     x_in = audio[:, :, None]
     for i, (dim, kernel, stride) in enumerate(cfg.conv_layers):
-        for impl in ("conv", "matmul"):
+        for impl in ("conv", "matmul", "s2d"):
             layer = StridedConv1D(
                 dim, kernel, stride, use_bias=cfg.conv_bias, dtype=dtype, impl=impl
             )

@@ -363,3 +363,15 @@ def test_strided_conv_matmul_matches_conv_lowering():
         )
         assert y_conv.shape == y_mm.shape == (2, (t - k) // s + 1, 32)
         np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_mm), rtol=2e-5, atol=2e-5)
+        y_s2d = StridedConv1D(32, k, s, use_bias=True, dtype=jnp.float32, impl="s2d").apply(
+            params, x
+        )
+        assert y_s2d.shape == y_conv.shape
+        np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_s2d), rtol=2e-5, atol=2e-5)
+        # Odd tail: T not a multiple of the stride must still agree.
+        x_odd = x[:, : t - 1]
+        y_conv_o = conv.apply(params, x_odd)
+        y_s2d_o = StridedConv1D(32, k, s, use_bias=True, dtype=jnp.float32, impl="s2d").apply(
+            params, x_odd
+        )
+        np.testing.assert_allclose(np.asarray(y_conv_o), np.asarray(y_s2d_o), rtol=2e-5, atol=2e-5)

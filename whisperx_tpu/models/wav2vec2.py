@@ -37,7 +37,7 @@ def _conv_impl(pref: str) -> str:
     import os
 
     env = os.environ.get("WHISPERX_CONV_IMPL", "")
-    if env in ("conv", "matmul"):
+    if env in ("conv", "matmul", "s2d"):
         return env
     if pref != "auto":
         return pref
@@ -54,9 +54,17 @@ class StridedConv1D(nn.Module):
     - "conv": ``lax.conv_general_dilated`` — XLA's native lowering.
     - "matmul": frame the input into (B, T', k, Cin) windows via k strided
       slices and contract with the kernel in ONE ``dot_general`` — every
-      layer becomes a plain matmul the MXU tiles well.
-    - "auto": the native conv (the on-chip A/B found the two equal within
-      relay noise — see ``_conv_impl``).
+      layer becomes a plain matmul the MXU tiles well (but materializes a
+      k-times-larger frames array).
+    - "s2d": space-to-depth phase decomposition — split the input into its
+      s stride phases ``x[r::s]`` and accumulate ``ceil(k/s)`` stacked
+      matmuls ``concat_r(x[q*s+r::s]) @ concat_r(W[q*s+r])``. Identical
+      FLOPs to the conv, plain (T', s*Cin)x(s*Cin, Cout) MXU matmuls, and
+      no k-fold frames blowup: for the stack's k<=2s geometries at most
+      ~1.5x the input is re-read. The k==s layers (kernel 2, stride 2)
+      reduce to ONE reshape + matmul.
+    - "auto": the native conv (the on-chip A/B found conv and matmul equal
+      within relay noise — see ``_conv_impl``).
     """
 
     features: int
@@ -75,11 +83,30 @@ class StridedConv1D(nn.Module):
         )
         x = x.astype(self.dtype)
         w = kernel.astype(self.dtype)
-        if _conv_impl(self.impl) == "conv":
+        impl = _conv_impl(self.impl)
+        if impl == "conv":
             y = jax.lax.conv_general_dilated(
                 x, w, window_strides=(s,), padding="VALID",
                 dimension_numbers=("NWC", "WIO", "NWC"),
             )
+        elif impl == "s2d":
+            t_out = (x.shape[1] - k) // s + 1
+            # y[t] = sum_j W[j] x[t*s+j]; with j = q*s + r the j-th tap is
+            # phase r of the input shifted by q frames, so the conv is
+            # ceil(k/s) stacked matmuls over the phase-split input.
+            y = None
+            for q in range(-(-k // s)):
+                rs = [r for r in range(s) if q * s + r < k]
+                cols = [
+                    jax.lax.slice_in_dim(
+                        x, q * s + r, q * s + r + (t_out - 1) * s + 1, stride=s, axis=1
+                    )
+                    for r in rs
+                ]
+                xq = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=-1)
+                wq = w[q * s : q * s + len(rs)].reshape(len(rs) * cin, self.features)
+                yq = jax.lax.dot_general(xq, wq, (((2,), (0,)), ((), ())))
+                y = yq if y is None else y + yq
         else:
             t_out = (x.shape[1] - k) // s + 1
             # frames[b, t, j, c] = x[b, t*s + j, c]: the j-th strided slice is
