@@ -560,7 +560,13 @@ def align_begin(
                 out = fwd(model.params, jnp.asarray(wavs), jnp.asarray(tok_pack))
             pendings.append((idx, out))
 
+    # Telemetry counts only time spent inside align's own phases: the begin
+    # span plus the finish span — not the overlap window in between, where
+    # the caller's decode work runs.
+    begin_s = _time.perf_counter() - _t0
+
     def _finish() -> AlignedTranscriptionResult:
+        _tf = _time.perf_counter()
         if host_backtrack is not None:
             host_backtrack()
         for pending in pendings:
@@ -573,7 +579,8 @@ def align_begin(
             charwise,
             interpolate_method,
             return_char_alignments,
-            _t0,
+            begin_s,
+            _tf,
         )
 
     return AlignJob(_finish)
@@ -587,7 +594,8 @@ def _aggregate_result(
     charwise,
     interpolate_method,
     return_char_alignments,
-    _t0,
+    begin_s,
+    _tf,
 ) -> AlignedTranscriptionResult:
     """Pass 3: char → word → sentence aggregation (host-only, numpy)."""
     import time as _time
@@ -741,7 +749,7 @@ def _aggregate_result(
 
     telemetry.GLOBAL.record(
         "align",
-        seconds=_time.perf_counter() - _t0,
+        seconds=begin_s + (_time.perf_counter() - _tf),
         audio_seconds=sum(
             max(0.0, float(s["end"]) - float(s["start"])) for s in transcript
         ),
