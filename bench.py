@@ -97,6 +97,14 @@ def main():
 
     rng = np.random.default_rng(0)
     audio = (rng.standard_normal((batch, N_SAMPLES)) * 0.1).astype(np.float32)
+    # Upload in int16 PCM like the production pipeline (_device_audio):
+    # halves the largest per-iteration host→device transfer; the mel
+    # front-end dequantizes on device. WHISPERX_WAV_INT16=0 opts out.
+    audio_up = audio
+    if os.environ.get("WHISPERX_WAV_INT16", "1") == "1":
+        from whisperx_tpu.audio.io import pcm16
+
+        audio_up = pcm16(audio)
 
     # BENCH_ALIGN (default ON): include wav2vec2 forced alignment in the
     # measured loop — BASELINE.md's ≥70x target is "transcription+alignment",
@@ -148,7 +156,7 @@ def main():
         fb_rng = _jax.random.PRNGKey(0)
 
     def run(sync=True):
-        mel = log_mel_spectrogram(jnp.asarray(audio), n_mels=cfg.n_mels).astype(jnp.bfloat16)
+        mel = log_mel_spectrogram(jnp.asarray(audio_up), n_mels=cfg.n_mels).astype(jnp.bfloat16)
         out = engine.generate(params, mel, options=opts, sync=sync)
         if with_fallback:
             out = engine.generate(params, mel, options=fb_opts, rng=fb_rng, sync=sync)
