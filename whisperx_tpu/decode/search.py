@@ -245,13 +245,21 @@ def _history_impl() -> str:
     - "backptr" — carry only (max_new, B, K) token/parent tables written with
       one dynamic_update_slice each per step; the winning hypothesis is
       reconstructed once after the loop by a reverse lax.scan over the
-      backpointers. Removes every per-step history gather from the hot loop —
-      the CT2 C++ loop the reference rides keeps hypotheses as linked
-      parent pointers for the same reason (whisperx/asr.py:53-62).
+      backpointers (the linked-parent-pointer scheme CT2's C++ loop uses,
+      whisperx/asr.py:53-62).
+
+    Default: "gather". The backptr impl removes per-step history gathers on
+    paper but LOST the same-build paired A/B decisively on v5e — 127.0x vs
+    148.8x decode-only (benchmarks/AB_RESULTS.json history-backptr /
+    history-gather, reproduced twice): the traced-index dynamic_update_slice
+    writes sit on the step's critical path, whereas XLA schedules the
+    (B, K, max_new) history gathers alongside the cache reorder for free.
+    Token buffers are tiny relative to the KV cache; the gathers were never
+    the bottleneck.
     """
     import os
 
-    impl = os.environ.get("WHISPERX_BEAM_HISTORY", "backptr")
+    impl = os.environ.get("WHISPERX_BEAM_HISTORY", "gather")
     if impl not in ("gather", "backptr"):
         raise ValueError(
             f"unknown WHISPERX_BEAM_HISTORY={impl!r}: expected gather|backptr"
