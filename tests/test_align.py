@@ -173,6 +173,27 @@ def test_align_begin_deferred_matches_sync():
     assert job.finish() is deferred  # idempotent
 
 
+def test_align_begin_multibatch_deferred():
+    """Deferred path with more segments than max_batch: every pending batch
+    must be consumed in dispatch order at finish() and match sync align."""
+    from whisperx_tpu.align.alignment import align_begin
+
+    model = test_align_model("en")
+    model.max_batch = 2  # 5 alignable segments -> 3 dispatched batches
+    rng = np.random.default_rng(2)
+    audio = (rng.standard_normal(10 * SR) * 0.1).astype(np.float32)
+    words = ["hello there", "general kenobi", "you are bold", "as expected",
+             "the archives are complete"]
+    transcript = [
+        {"start": 2.0 * i + 0.1, "end": 2.0 * i + 1.9, "text": " " + w}
+        for i, w in enumerate(words)
+    ]
+    meta = {"language": "en", "dictionary": model.dictionary, "type": "jax"}
+    sync = align([dict(s) for s in transcript], model, meta, audio)
+    deferred = align_begin([dict(s) for s in transcript], model, meta, audio).finish()
+    assert deferred == sync
+
+
 def test_align_bf16_compute_dtype():
     """bf16 wav2vec2 compute (TPU default) preserves alignment structure —
     emissions cast to fp32 before log-softmax (models/wav2vec2.py lm_head)."""
