@@ -396,3 +396,124 @@ def test_strided_conv_matmul_matches_conv_lowering():
             params, x_odd
         )
         np.testing.assert_allclose(np.asarray(y_conv_o), np.asarray(y_s2d_o), rtol=2e-5, atol=2e-5)
+
+
+def test_host_backtrack_real_model_int16_parity(monkeypatch):
+    """Regression for the host-mode dequantization bug: under the default
+    WHISPERX_WAV_INT16=1 the audio slices handed to _batched_emissions are
+    int16 PCM, and the batch buffer must keep that dtype so _wav_f32 rescales
+    (/32768) on device. A rigged emission model cannot catch this (its output
+    ignores input scale), so this test runs a REAL tiny wav2vec2 with random
+    weights and asserts host-mode int16 output equals host-mode float32
+    output, and matches the fused device path."""
+    import jax
+
+    from whisperx_tpu.models.configs import Wav2Vec2Config
+    from whisperx_tpu.models.wav2vec2 import Wav2Vec2ForCTC
+
+    # Large-style config on purpose: conv_bias=True makes the feature
+    # extractor affine (not linear), so a 32768x input-scale bug actually
+    # changes the output — base-style (conv_bias=False + group norm) is
+    # exactly scale-invariant and cannot detect missed dequantization.
+    cfg = Wav2Vec2Config(
+        name="test-tiny",
+        vocab_size=V,
+        hidden_size=32,
+        num_layers=1,
+        num_heads=2,
+        intermediate_size=64,
+        conv_layers=((16, 10, 5), (16, 3, 2), (16, 2, 2)),
+        conv_bias=True,
+        do_stable_layer_norm=True,
+        feat_extract_norm="layer",
+        num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=4,
+    )
+    w2v = Wav2Vec2ForCTC(cfg)
+    params = w2v.init(jax.random.PRNGKey(0), np.zeros((1, 4000), np.float32))["params"]
+    m = AlignModel(w2v, params, DICT, "en", blank_id=0, max_batch=4)
+
+    # Audio exactly on the int16 grid so pcm16 round-trips bit-exactly and
+    # int16 vs float32 must agree to the bit.
+    rng = np.random.default_rng(7)
+    audio = (rng.integers(-32768, 32768, 2 * SR).astype(np.float32)) / 32768.0
+    transcript = [{"start": 0.0, "end": 2.0, "text": " hello world"}]
+
+    def run(int16, backtrack):
+        monkeypatch.setenv("WHISPERX_WAV_INT16", "1" if int16 else "0")
+        monkeypatch.setenv("WHISPERX_CTC_BACKTRACK", backtrack)
+        return align([dict(s) for s in transcript], m, _metadata(), audio)
+
+    host16 = run(True, "host")
+    host32 = run(False, "host")
+    fused16 = run(True, "device")
+
+    def words(out):
+        return [
+            (w["word"], round(w.get("start", -1.0), 3), round(w.get("end", -1.0), 3))
+            for w in out["word_segments"]
+        ]
+
+    assert words(host16) == words(host32)
+    assert words(host16) == words(fused16)
+
+
+def test_host_backtrack_dequantizes_int16_slices(monkeypatch):
+    """Pin the device-visible audio scale in host-backtrack mode. wav2vec2's
+    normalization layers make its output nearly scale-invariant, so an
+    end-to-end check cannot see a missed /32768; this probe model folds
+    max|audio| into its emissions so the word score collapses (exp(-32768))
+    if _batched_emissions ever feeds unscaled int16 values."""
+    import jax.numpy as jnp
+
+    class ScaleProbeW2V:
+        def apply(self, variables, audio, sample_lengths=None):
+            B, T = audio.shape
+            frames = (T - 400) // 320 + 1
+            scale = jnp.max(jnp.abs(audio))
+            out = jnp.full((B, frames, V), -30.0, jnp.float32)
+            out = out.at[:, :, 0].set(0.0)
+            # plant token 'a' at the middle frame with logit -scale: near 0
+            # for dequantized audio in [-1,1], catastrophic for raw int16.
+            mid = frames // 2
+            out = out.at[:, mid, 0].set(-30.0)
+            out = out.at[:, mid, DICT["a"]].set(-scale)
+            return out
+
+        def feature_lengths(self, sample_lengths):
+            return (sample_lengths - 400) // 320 + 1
+
+    m = AlignModel(ScaleProbeW2V(), {}, DICT, "en", blank_id=0, max_batch=4)
+    rng = np.random.default_rng(3)
+    audio = (rng.integers(-32768, 32768, SR).astype(np.float32)) / 32768.0
+    monkeypatch.setenv("WHISPERX_WAV_INT16", "1")
+    monkeypatch.setenv("WHISPERX_CTC_BACKTRACK", "host")
+    out = align([{"start": 0.0, "end": 1.0, "text": " a"}], m, _metadata(), audio)
+    words = out["word_segments"]
+    assert words and words[0]["word"] == "a"
+    # exp(-scale) with scale<=1 keeps the planted-frame probability high;
+    # unscaled int16 audio would drive it to ~exp(-32768)=0.
+    assert words[0]["score"] > 0.2, words[0]
+
+
+def test_align_inflight_window_matches_sync(monkeypatch):
+    """With the dispatch window clamped to 1 the begin loop consumes pending
+    batches eagerly; the result must equal the unbounded deferred path and
+    synchronous align()."""
+    from whisperx_tpu.align.alignment import align_begin
+
+    model = test_align_model("en")
+    model.max_batch = 2  # 5 alignable segments -> 3 dispatched batches
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(10 * SR) * 0.1).astype(np.float32)
+    words = ["hello there", "general kenobi", "you are bold", "as expected",
+             "the archives are complete"]
+    transcript = [
+        {"start": 2.0 * i + 0.1, "end": 2.0 * i + 1.9, "text": " " + w}
+        for i, w in enumerate(words)
+    ]
+    meta = {"language": "en", "dictionary": model.dictionary, "type": "jax"}
+    sync = align([dict(s) for s in transcript], model, meta, audio)
+    monkeypatch.setenv("WHISPERX_ALIGN_INFLIGHT", "1")
+    windowed = align_begin([dict(s) for s in transcript], model, meta, audio).finish()
+    assert windowed == sync

@@ -303,7 +303,11 @@ def _batched_emissions(align_model: AlignModel, slices: List[np.ndarray]):
         # and a half-full tail pays half the wav2vec2 FLOPs (the r3
         # align-batch16 A/B regression was exactly this padding tax).
         rows = _ladder_rows(len(batch_idx), B, align_model.mesh)
-        wavs = np.zeros((rows, max_len), np.float32)
+        # Keep the slices' dtype: under WHISPERX_WAV_INT16=1 they are int16
+        # PCM and _wav_f32 rescales (/32768) on device — copying into a
+        # float32 buffer here would skip the dequantization and feed
+        # 32768x-scaled audio to wav2vec2.
+        wavs = np.zeros((rows, max_len), slices[batch_idx[0]].dtype)
         lens = np.zeros((rows,), np.int32)
         for row, j in enumerate(batch_idx):
             wavs[row, : len(slices[j])] = slices[j]
@@ -559,6 +563,15 @@ def align_begin(
             else:
                 out = fwd(model.params, jnp.asarray(wavs), jnp.asarray(tok_pack))
             pendings.append((idx, out))
+            # Bound the dispatch window: each pending batch keeps its padded
+            # waveform upload alive on device, so unlimited in-flight batches
+            # would scale peak HBM + transfer-queue depth with file length
+            # (multi-hour inputs). Consuming the oldest blocks on a result
+            # that was dispatched WHISPERX_ALIGN_INFLIGHT batches ago — by
+            # then it is normally already done, so overlap is preserved.
+            max_inflight = int(os.environ.get("WHISPERX_ALIGN_INFLIGHT", "8"))
+            while len(pendings) > max(1, max_inflight):
+                consume(pendings.pop(0))
 
     # Telemetry counts only time spent inside align's own phases: the begin
     # span plus the finish span — not the overlap window in between, where

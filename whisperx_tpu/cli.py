@@ -329,7 +329,16 @@ def _align_stage(cfg: CliConfig, jobs: List[FileJob]) -> None:
             continue
         detected = job.result.get("language", "en")
         if detected != metadata["language"]:
-            # Hot-swap to the detected language's default align model.
+            # Hot-swap to the detected language's default align model. Finish
+            # the previous file's in-flight job FIRST: it was built on the old
+            # model, so draining it (a) avoids transiently holding two align
+            # models' params in HBM and (b) keeps its warnings/prints ordered
+            # before the next file's header. Overlap is lost only on the rare
+            # language-switch boundary.
+            if in_flight is not None:
+                prev_job, prev_handle = in_flight
+                prev_job.result = prev_handle.finish()
+                in_flight = None
             print(
                 f"[whisperx-tpu] align model is {metadata['language']}, file is "
                 f"{detected}: loading {detected} align model"

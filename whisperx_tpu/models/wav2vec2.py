@@ -33,7 +33,8 @@ def _conv_impl(pref: str) -> str:
     path timed 78.7 ms vs the native lowering's 72.8 ms for the batch-8x30s
     conv stack — within relay noise, no win — so "auto" stays on XLA's conv
     and the matmul path remains an opt-in probe. WHISPERX_CONV_IMPL=
-    conv|matmul overrides (read at trace time, like the other decode knobs)."""
+    conv|matmul|s2d overrides (read at trace time, like the other decode
+    knobs); "s2d" is the phase-decomposed stacked-matmul variant."""
     import os
 
     env = os.environ.get("WHISPERX_CONV_IMPL", "")
