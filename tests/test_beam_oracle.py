@@ -210,3 +210,78 @@ def test_beam_matches_hf_generate_with_suppression():
             total += 1
             agree += hf_gen == ours
     assert agree == total, f"{agree}/{total}"
+
+
+def test_beam_matches_hf_generate_with_prefix():
+    """`prefix` semantics (reference asr.py:44 passes options.prefix into
+    prompt construction): prefix tokens join the decoder prompt after the
+    sot sequence, condition the beam as forced context, and are excluded
+    from the emitted tokens. Pinned against HF generate with the same
+    multi-token decoder_input_ids."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.decode.search import SearchOptions
+
+    hf_model, engine, params = _build(vocab=100, seed=3)
+    opts = SearchOptions(
+        beam_size=K, patience=1.0, length_penalty=0.0, max_new_tokens=MAX_NEW,
+        temperature=0.0, suppress_tokens=(), suppress_blank=False,
+        blank_tokens=(), eot=1, banned_tokens=(),
+    )
+    rng = np.random.default_rng(11)
+    agree = total = 0
+    for trial in range(4):
+        mel = rng.standard_normal((3, 80, 64)).astype(np.float32) * 2.0
+        # decoder start token + a 3-token "prefix" (forced continuation)
+        prefix = rng.integers(3, 100, 3).tolist()
+        prompt = np.tile(np.asarray([[2] + prefix], np.int32), (3, 1))
+        prompt_len = prompt.shape[1]
+        with torch.no_grad():
+            hf_seqs = hf_model.generate(
+                input_features=torch.from_numpy(mel),
+                decoder_input_ids=torch.from_numpy(prompt.astype(np.int64)),
+                num_beams=K, max_length=prompt_len + MAX_NEW,
+                length_penalty=0.0, early_stopping=False, do_sample=False,
+                begin_suppress_tokens=None, suppress_tokens=None,
+            ).numpy()
+        tokens = np.asarray(
+            engine.decode_beam(params, jnp.asarray(mel), jnp.asarray(prompt), opts)[0]
+        )
+        for b in range(3):
+            hf_gen = hf_seqs[b].tolist()
+            # HF returns the full sequence including decoder_input_ids when
+            # they exceed one token; strip the echoed prompt if present.
+            if hf_gen[:prompt_len] == prompt[b].tolist():
+                hf_gen = hf_gen[prompt_len:]
+            ours = tokens[b].tolist()
+            if 1 in hf_gen:
+                hf_gen = hf_gen[: hf_gen.index(1)]
+            if 1 in ours:
+                ours = ours[: ours.index(1)]
+            total += 1
+            agree += hf_gen == ours
+    assert total == 12
+    assert agree == total, f"beam mismatch vs HF generate with prefix: {agree}/{total}"
+
+
+def test_engine_prefix_threading():
+    """engine.generate(prefix=...) appends the encoded prefix to every prompt
+    row after the sot sequence, truncated to the last n_text_ctx//2 - 1
+    tokens; pipeline options.prefix reaches the engine (the reference
+    accepts-and-forwards it at asr.py:44 — silently dropping it was the r4
+    parity gap)."""
+    _, engine, _ = _build(vocab=100, seed=0)
+    tok = engine.tokenizer
+    pt = engine.prefix_tokens("hello")
+    assert pt == tuple(tok.encode(" hello"))
+    # truncation: keep the LAST n_text_ctx//2 - 1 tokens
+    long_prefix = "x" * 200
+    pt_long = engine.prefix_tokens(long_prefix)
+    limit = engine.config.n_text_ctx // 2 - 1
+    assert len(pt_long) == limit
+    assert pt_long == tuple(tok.encode(" " + long_prefix)[-limit:])
+    prompt = engine.build_prompt(2, prefix_tokens=pt)
+    base = engine.build_prompt(2, prefix_tokens=())
+    assert prompt.shape == (2, base.shape[1] + len(pt))
+    assert prompt[0, -len(pt):].tolist() == list(pt)
+    assert prompt[0, : base.shape[1]].tolist() == base[0].tolist()

@@ -112,3 +112,47 @@ def test_suppress_numerals_masks_digit_tokens():
     p.suppress_numerals = False
     opts2, _ = p._search_options(tok)
     assert not (set(numerals) & set(opts2.suppress_tokens))
+
+
+def test_unimplemented_decode_knobs_raise():
+    """repetition_penalty / no_repeat_ngram_size are accepted by the options
+    surface (reference flag parity) but not implemented in the batched path —
+    they must raise, not silently no-op (the reference's batched path ignores
+    them too, whisperx/asr.py:53-62)."""
+    import dataclasses
+
+    import pytest
+
+    audio = np.zeros(16000, np.float32)
+    p = load_test_pipeline(language="en", beam_size=1)
+    p.options = dataclasses.replace(p.options, repetition_penalty=1.2)
+    with pytest.raises(NotImplementedError, match="repetition_penalty"):
+        p.transcribe(audio, batch_size=2)
+    p.options = dataclasses.replace(p.options, repetition_penalty=1.0, no_repeat_ngram_size=3)
+    with pytest.raises(NotImplementedError, match="no_repeat_ngram_size"):
+        p.transcribe(audio, batch_size=2)
+
+
+def test_prefix_option_reaches_engine(monkeypatch):
+    """options.prefix must thread into engine.generate (reference asr.py:44);
+    r4 accepted the field and silently dropped it."""
+    import dataclasses
+
+    p = load_test_pipeline(language="en", beam_size=1)
+    p.options = dataclasses.replace(p.options, prefix="the quick")
+    seen = {}
+    rng = np.random.default_rng(0)
+    audio = (0.3 * np.sin(np.arange(3 * 16000) / 16000 * 2 * np.pi * 220)).astype(np.float32)
+    audio += 0.01 * rng.standard_normal(len(audio)).astype(np.float32)
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+
+    orig = WhisperEngine.generate
+
+    def spy(self, params, mel, **kw):
+        seen["prefix"] = kw.get("prefix")
+        return orig(self, params, mel, **kw)
+
+    monkeypatch.setattr(WhisperEngine, "generate", spy)
+    p.transcribe(audio, batch_size=2)
+    assert seen.get("prefix") == "the quick"

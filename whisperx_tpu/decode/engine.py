@@ -325,6 +325,17 @@ class WhisperEngine:
         arr = jnp.asarray(prompt, jnp.int32)
         return jnp.tile(arr[None, :], (batch, 1))
 
+    def prefix_tokens(self, prefix: Optional[str]) -> tuple:
+        """Encode a decode ``prefix`` (reference asr.py:44 passes it into
+        prompt construction). Whisper semantics: the prefix conditions the
+        decoder as forced continuation context — it joins the prompt after
+        the sot sequence and is NOT part of the emitted text — truncated to
+        the LAST ``n_text_ctx // 2 - 1`` tokens like initial_prompt."""
+        if not prefix:
+            return ()
+        toks = self.tokenizer.encode(" " + prefix.strip())
+        return tuple(toks[-(self.config.n_text_ctx // 2 - 1):])
+
     def generate(
         self,
         params,
@@ -332,6 +343,7 @@ class WhisperEngine:
         *,
         options: Optional[SearchOptions] = None,
         initial_prompt: Optional[str] = None,
+        prefix: Optional[str] = None,
         rng=None,
         sync: bool = True,
     ) -> DecodeResult:
@@ -343,7 +355,11 @@ class WhisperEngine:
         (and synchronize) transparently on first host use.
         """
         opts = options or self.build_options()
-        prompt = self.build_prompt(mel.shape[0], initial_prompt=initial_prompt)
+        prompt = self.build_prompt(
+            mel.shape[0],
+            initial_prompt=initial_prompt,
+            prefix_tokens=self.prefix_tokens(prefix),
+        )
         if opts.beam_size > 1 and opts.temperature == 0.0:
             tokens, sum_lp, lengths, no_speech = self.decode_beam(params, mel, prompt, opts)
         else:

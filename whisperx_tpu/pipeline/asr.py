@@ -137,6 +137,22 @@ class WhisperPipeline:
 
     def _search_options(self, tokenizer: WhisperTokenizer) -> tuple[SearchOptions, WhisperEngine]:
         opts = self.options
+        # A knob that quietly does nothing is worse than one that raises
+        # (ops/ctc.py standard). These two are accepted-but-unused by the
+        # reference's batched path too (whisperx/asr.py:53-62 never passes
+        # them to CT2.generate), so raising on non-defaults is honest parity.
+        if opts.repetition_penalty != 1.0:
+            raise NotImplementedError(
+                "repetition_penalty is not implemented in the batched decode "
+                "path (the reference's batched path ignores it too); leave it "
+                "at 1.0"
+            )
+        if opts.no_repeat_ngram_size:
+            raise NotImplementedError(
+                "no_repeat_ngram_size is not implemented in the batched decode "
+                "path (the reference's batched path ignores it too); leave it "
+                "at 0"
+            )
         suppress = list(opts.suppress_tokens)
         if self.suppress_numerals:
             print("Suppressing numeral and symbol tokens")
@@ -262,6 +278,7 @@ class WhisperPipeline:
                     result = engine.generate(
                         self.params, mel, options=search_opts,
                         initial_prompt=self.options.initial_prompt,
+                        prefix=self.options.prefix,
                         sync=False,
                     )
                 if in_flight is not None:
@@ -347,6 +364,7 @@ class WhisperPipeline:
                     result = engine.generate(
                         self.params, mel, options=fb_opts,
                         initial_prompt=opts.initial_prompt,
+                        prefix=opts.prefix,
                         rng=jax.random.PRNGKey(hash((t_i, done)) & 0x7FFFFFFF),
                     )
                 new_texts.extend(engine.decode_text(result)[:n_valid])
