@@ -436,6 +436,15 @@ def test_real_eval_runbook_rehearsal(tmp_path):
     for row in report["per_file"]:
         assert "wer" in row and "realtime" in row
         assert "timestamp_f1" in row  # manifest carried gold words
+    # BASELINE.md copy-paste block (VERDICT r4 item 8): the exact
+    # reference-comparison fields, plus the per-stage telemetry split.
+    bc = report["baseline_comparison"]
+    assert bc["corpus_wer"] == report["wer"]
+    assert bc["word_timestamp_f1_at_200ms"] == report["timestamp_f1"]  # tol=0.2 default
+    assert bc["reference_realtime_claim"] == 70.0
+    assert bc["realtime_factor"] == report["audio_seconds_per_second"]
+    assert abs(bc["vs_reference_realtime"] - bc["realtime_factor"] / 70.0) < 1e-3
+    assert "asr_decode" in report["stages"] and "align" in report["stages"]
     assert os.path.exists(tmp_path / "report.json")
 
 
