@@ -205,3 +205,21 @@ def test_vad_pipeline_honors_scorer_min_duration():
     assert VadPipeline(SpeechBandVAD()).min_duration_on == 0.5
     assert VadPipeline(EnergyVAD()).min_duration_on == 0.0
     assert VadPipeline(SpeechBandVAD(), min_duration_on=0.1).min_duration_on == 0.1
+
+
+def test_frame_sq_sums_matches_bruteforce():
+    """_frame_sq_sums (reduceat segment sums + float64 frame cumsum) must
+    match the brute-force per-window float64 sum — it replaced the O(n)
+    per-sample float64 cumsum that dominated the host VAD tax."""
+    from whisperx_tpu.vad.model import FRAME_SIZE, FRAME_STEP, _frame_sq_sums
+
+    rng = np.random.default_rng(0)
+    for n in (FRAME_SIZE, FRAME_SIZE + 1, FRAME_SIZE + FRAME_STEP * 7 + 3, 16000 * 5):
+        x = rng.standard_normal(n).astype(np.float32) * 0.3
+        total_frames = (n - FRAME_SIZE) // FRAME_STEP + 1
+        starts = np.arange(total_frames) * FRAME_STEP
+        got = _frame_sq_sums(x, starts, FRAME_SIZE)
+        want = np.array(
+            [np.sum(x[s : s + FRAME_SIZE].astype(np.float64) ** 2) for s in starts]
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

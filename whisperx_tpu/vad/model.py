@@ -122,10 +122,8 @@ class EnergyVAD:
             audio = np.pad(audio, (0, FRAME_SIZE - n))
             n = len(audio)
         total_frames = (n - FRAME_SIZE) // FRAME_STEP + 1
-        # Frame RMS via cumulative sum of squares (O(n)).
-        sq = np.concatenate([[0.0], np.cumsum(audio.astype(np.float64) ** 2)])
         starts = np.arange(total_frames) * FRAME_STEP
-        energy = (sq[starts + FRAME_SIZE] - sq[starts]) / FRAME_SIZE
+        energy = _frame_sq_sums(audio, starts, FRAME_SIZE) / FRAME_SIZE
         rms = np.sqrt(energy)
 
         if self.smooth_frames > 1:
@@ -147,6 +145,30 @@ def _rolling_mean(x: np.ndarray, w: int) -> np.ndarray:
     pad = np.pad(x, (w // 2, w - w // 2 - 1), mode="edge")
     c = np.concatenate([[0.0], np.cumsum(pad)])
     return (c[w:] - c[:-w]) / w
+
+
+def _frame_sq_sums(x: np.ndarray, starts: np.ndarray, win: int) -> np.ndarray:
+    """Windowed sums of x**2 without a per-sample float64 cumsum.
+
+    The VAD host tax at scale (benchmarks/vad_host_tax.py) was dominated by
+    ``np.cumsum(x.astype(np.float64) ** 2)`` — ~2.4 s per half hour of audio.
+    Here squares stay float32 (one vectorized pass), ``np.add.reduceat``
+    folds them into the ≤FRAME_STEP-sample segments between consecutive
+    window boundaries, and only the ~2-segments-per-frame cumulative sum
+    runs in float64: same frame-level accuracy (float32 segment sums of
+    ≤270 samples, float64 accumulation across frames), ~10x less work.
+    """
+    n = len(x)
+    sq = np.asarray(x, np.float32) ** 2
+    bounds = np.unique(np.concatenate([starts, starts + win]))
+    inner = bounds[bounds < n]
+    seg = np.add.reduceat(sq, inner)
+    # cum[i] = sum(sq[: inner[i]]); cum[len(inner)] = total. Every window
+    # boundary (including an end equal to n) resolves via searchsorted.
+    cum = np.concatenate([[0.0], np.cumsum(seg, dtype=np.float64)])
+    lo = cum[np.searchsorted(inner, starts)]
+    hi = cum[np.searchsorted(inner, starts + win)]
+    return hi - lo
 
 
 class SpeechBandVAD:
@@ -209,12 +231,11 @@ class SpeechBandVAD:
         spec = np.fft.rfft(audio.astype(np.float32))
         freqs = np.fft.rfftfreq(n, 1.0 / SAMPLE_RATE)
         spec[(freqs < self.band[0]) | (freqs > self.band[1])] = 0.0
-        banded = np.fft.irfft(spec, n).astype(np.float64)
+        banded = np.fft.irfft(spec, n).astype(np.float32)
 
         total_frames = (n - FRAME_SIZE) // FRAME_STEP + 1
-        sq = np.concatenate([[0.0], np.cumsum(banded**2)])
         starts = np.arange(total_frames) * FRAME_STEP
-        rms = np.sqrt((sq[starts + FRAME_SIZE] - sq[starts]) / FRAME_SIZE)
+        rms = np.sqrt(_frame_sq_sums(banded, starts, FRAME_SIZE) / FRAME_SIZE)
         frame_rate = SAMPLE_RATE / FRAME_STEP  # ~59 Hz
         if self.env_smooth > 1:
             rms = np.convolve(rms, np.ones(self.env_smooth) / self.env_smooth, mode="same")
