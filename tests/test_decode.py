@@ -290,3 +290,40 @@ def test_beam_history_impls_agree(monkeypatch):
         res = engine.generate(params, mel, options=opts)
         outs[impl] = np.asarray(res.tokens)
     np.testing.assert_array_equal(outs["gather"], outs["backptr"])
+
+
+def test_prefix_reorder_matches_full_gather(monkeypatch):
+    """The prefix-bounded cache reorder (WHISPERX_REORDER_PREFIX buckets)
+    must produce bit-identical beam output to the full-buffer gather —
+    unwritten rows are zero in every lane, so skipping them is exact."""
+    import jax.numpy as jnp
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((3, 80, 3000)).astype(np.float32) * 0.5
+
+    def run():
+        # Fresh engine per run: the env knob is read at TRACE time, and the
+        # jit cache keys on the engine instance — reusing one engine would
+        # silently reuse the first compile and make the A/B vacuous.
+        engine = WhisperEngine(
+            model, WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+        )
+        opts = engine.build_options(beam_size=3, max_new_tokens=8)
+        return engine.generate(params, mel, options=opts)
+
+    monkeypatch.setenv("WHISPERX_REORDER_PREFIX", "0")  # full gather
+    full = run()
+    monkeypatch.setenv("WHISPERX_REORDER_PREFIX", "32")
+    bucketed = run()
+    monkeypatch.setenv("WHISPERX_REORDER_PREFIX", "16")
+    fine = run()
+    np.testing.assert_array_equal(full.tokens, bucketed.tokens)
+    np.testing.assert_array_equal(full.tokens, fine.tokens)
+    np.testing.assert_allclose(full.sum_logprobs, bucketed.sum_logprobs, atol=1e-5)
+    np.testing.assert_allclose(full.sum_logprobs, fine.sum_logprobs, atol=1e-5)

@@ -186,7 +186,7 @@ def greedy_decode(
     return tokens, sum_lp, lengths
 
 
-def _gather_cache(self_cache, flat_idx):
+def _gather_cache(self_cache, flat_idx, valid_len=None):
     """Reorder the per-layer (B*K, T, H, Dh) self cache by beam indices.
 
     Per-layer axis-0 gathers are the measured in-loop winner (r4 probes:
@@ -196,8 +196,16 @@ def _gather_cache(self_cache, flat_idx):
     Cross-attention K/V stay at batch granularity (shared across beams — see
     MultiHeadAttention's beam grouping), live outside the loop carry as
     while-loop constants, and are never reindexed.
+
+    ``valid_len`` (traced scalar): number of written cache rows
+    (prompt + steps so far). When set, only the smallest static T-bucket
+    covering it is gathered (``_gather_cache_prefix``) — rows beyond are
+    still zero-initialized and identical across lanes, so skipping them is
+    exact and saves the proportional share of the reorder's HBM traffic.
     """
     impl = _reorder_impl()
+    if valid_len is not None and impl == "take" and _prefix_granule() > 0:
+        return _gather_cache_prefix(self_cache, flat_idx, valid_len)
     if impl == "onehot":
         # Permutation as an MXU matmul: out = P @ flat where P is the 0/1
         # selection matrix (exactly one 1 per row), so the copy rides the
@@ -221,6 +229,51 @@ def _gather_cache(self_cache, flat_idx):
 
         return jax.tree_util.tree_map(one, self_cache)
     return jax.tree_util.tree_map(lambda a: jnp.take(a, flat_idx, axis=0), self_cache)
+
+
+def _prefix_granule() -> int:
+    """T-bucket granule for the prefix-bounded cache reorder (trace-time env
+    knob WHISPERX_REORDER_PREFIX: 0 disables, default 32). At the flagship
+    shape (cache T=128, valid rows 4..116 over 112 steps) granule 32 gathers
+    an average ~77 of 128 rows — ~40% of the reorder's HBM traffic skipped
+    for exactly the same result (unwritten rows are zero in every lane)."""
+    import os
+
+    v = os.environ.get("WHISPERX_REORDER_PREFIX", "32")
+    return int(v)
+
+
+def _gather_cache_prefix(self_cache, flat_idx, valid_len):
+    """Gather only the written T-prefix of each cache leaf, bucketed.
+
+    ``lax.switch`` picks the smallest static bucket covering ``valid_len``;
+    each branch slices rows [0, S) on the T axis (axis 1 for k/v and their
+    scale planes alike), gathers them by ``flat_idx``, and writes them back
+    with dynamic_update_slice so the tail buffer is untouched.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(self_cache)
+    T = leaves[0].shape[1]
+    g = _prefix_granule()
+    n_buckets = -(-T // g)
+    if n_buckets <= 1:
+        return jax.tree_util.tree_map(
+            lambda a: jnp.take(a, flat_idx, axis=0), self_cache
+        )
+
+    def make_branch(S):
+        def branch(cache):
+            def one(a):
+                prefix = jax.lax.slice_in_dim(a, 0, S, axis=1)
+                prefix = jnp.take(prefix, flat_idx, axis=0)
+                return jax.lax.dynamic_update_slice_in_dim(a, prefix, 0, axis=1)
+
+            return jax.tree_util.tree_map(one, cache)
+
+        return branch
+
+    branches = [make_branch(min((i + 1) * g, T)) for i in range(n_buckets)]
+    idx = jnp.clip((valid_len + g - 1) // g - 1, 0, n_buckets - 1)
+    return jax.lax.switch(idx, branches, self_cache)
 
 
 def _reorder_impl() -> str:
@@ -301,12 +354,14 @@ def _reorder_always() -> bool:
     """When true, skip the lax.cond identity-bypass and reorder every step.
 
     The cond's two branches cannot alias one output buffer, so XLA may
-    insert a full cache copy even on the identity path — with a fast
-    reorder the unconditional version can win. Env: WHISPERX_REORDER_COND=0
-    to go unconditional (trace-time)."""
+    insert a full cache copy even on the identity path — the unconditional
+    version WINS on chip: 150.5x vs 148.7x decode-only, reproduced in two
+    paired A/B rounds (benchmarks/AB_RESULTS.json reorder-nocond r4e + r5).
+    Default unconditional since r5; WHISPERX_REORDER_COND=1 restores the
+    conditional bypass (trace-time)."""
     import os
 
-    return os.environ.get("WHISPERX_REORDER_COND", "1") == "0"
+    return os.environ.get("WHISPERX_REORDER_COND", "0") == "0"
 
 
 def beam_decode(
@@ -413,8 +468,9 @@ def beam_decode(
             hist = (new_toks, fin_toks)
 
         flat_idx = (jnp.arange(B)[:, None] * K + new_beam).reshape(-1)
+        valid_len = prompt_len + step  # written cache rows at reorder time
         if _reorder_always():
-            cache = _gather_cache(cache, flat_idx)
+            cache = _gather_cache(cache, flat_idx, valid_len)
         else:
             # Skip the (large) cache reorder when every batch element kept
             # its beams in place — the common case once beams stabilize on
@@ -425,7 +481,7 @@ def beam_decode(
             cache = jax.lax.cond(
                 is_identity,
                 lambda c: c,
-                lambda c: _gather_cache(c, flat_idx),
+                lambda c: _gather_cache(c, flat_idx, valid_len),
                 cache,
             )
 
