@@ -83,6 +83,137 @@ def build_bench_engine():
     return engine, params, opts, cfg, knobs
 
 
+def _pipeline_audio(minutes: float, seed: int = 0) -> np.ndarray:
+    """Synthetic speech-like audio the weight-free VAD segments densely:
+    15 s tone bursts (220 Hz carrier, 3 Hz syllabic AM at shallow depth)
+    every 25 s (~60% speech duty, keeping the percentile noise floor in
+    actual silence) → merge_chunks packs burst pairs into ~26 s windows."""
+    sr = 16000
+    n = int(minutes * 60 * sr)
+    rng = np.random.default_rng(seed)
+    audio = np.zeros(n, np.float32)
+    tb = np.arange(15 * sr) / sr
+    burst = (
+        0.3 * np.sin(2 * np.pi * 220 * tb) * (0.75 + 0.25 * np.sin(2 * np.pi * 3 * tb))
+        + 0.01 * rng.standard_normal(15 * sr)
+    ).astype(np.float32)
+    for start_s in range(0, int(minutes * 60) - 15, 25):
+        audio[start_s * sr : (start_s + 15) * sr] = burst
+    return audio
+
+
+def main_pipeline():
+    """BENCH_PIPELINE=1: the PRODUCTION path end-to-end (VERDICT r4 item 3).
+
+    Drives WhisperPipeline.transcribe() — host VAD scoring + binarize/merge,
+    chunk bookkeeping, int16 waveform uploads, bucketed fixed batches,
+    one-batch-in-flight decode, detokenization — then the deferred
+    align_begin/finish stage, on BENCH_PIPE_MINUTES of synthetic audio.
+    The engine-only metric (default mode) stays for continuity; this mode
+    measures what a user actually gets, including every host cost, and
+    reports the per-stage telemetry split. The reference's 70x claim is
+    end-to-end (reference README.md:35,37)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    engine, params, opts, cfg, knobs = build_bench_engine()
+
+    from whisperx_tpu.align.alignment import align_begin, test_align_model
+    from whisperx_tpu.models.configs import WAV2VEC2_BASE
+    from whisperx_tpu.pipeline.asr import TranscriptionOptions, WhisperPipeline
+    from whisperx_tpu.utils import telemetry
+    from whisperx_tpu.vad.model import SpeechBandVAD, VadPipeline
+
+    minutes = float(os.environ.get("BENCH_PIPE_MINUTES", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    with_align = os.environ.get("BENCH_ALIGN", "1") == "1"
+
+    eot = engine.tokenizer.layout.eot
+    pipe = WhisperPipeline(
+        engine=engine,
+        params=params,
+        vad=VadPipeline(SpeechBandVAD()),
+        vad_params={"vad_onset": 0.5, "vad_offset": 0.363},
+        # Suppressing EOT forces the full decode horizon on random weights,
+        # matching the engine-only bench's banned-EOT convention.
+        options=TranscriptionOptions(
+            beam_size=knobs["beam"],
+            max_new_tokens=knobs["max_new"],
+            suppress_tokens=(-1, eot),
+        ),
+        tokenizer=engine.tokenizer,
+        language="en",
+        kv_cache_dtype=knobs["kv"],
+    )
+
+    audio = _pipeline_audio(minutes)
+    audio_seconds = len(audio) / 16000.0
+
+    align_model = None
+    if with_align:
+        align_model = test_align_model("en", config=WAV2VEC2_BASE, dtype=jnp.bfloat16)
+        align_model.max_batch = int(os.environ.get("BENCH_ALIGN_BATCH", "8"))
+        words = ("the quick brown fox jumps over the lazy dog and runs far away "
+                 "while seven silent watchers record every single word spoken here ").split()
+        text = " " + " ".join(words * 4)[:400]
+        align_meta = {"language": "en", "dictionary": align_model.dictionary, "type": "jax"}
+
+    def run():
+        result = pipe.transcribe(audio, batch_size=knobs["batch"])
+        job = None
+        if with_align:
+            # Random decoder output is not alignable text; keep the VAD chunk
+            # timings and substitute a realistic fixed transcript per chunk
+            # (emission cost depends only on audio length — same stand-in the
+            # engine-only bench uses).
+            segs = [dict(s, text=text) for s in result["segments"]]
+            job = align_begin(segs, align_model, align_meta, audio)
+        return result, job
+
+    result, job = run()  # compile (excluded)
+    if job is not None:
+        job.finish()
+    n_chunks = len(result["segments"])
+
+    pipe.telemetry.stages.clear()
+    telemetry.GLOBAL.stages.clear()
+    t0 = time.perf_counter()
+    prev_job = None
+    for _ in range(iters):
+        result, job = run()
+        # One align in flight: finish the previous iteration's align after
+        # this iteration's device work is dispatched (the CLI stage-fold
+        # shape — align host post-processing overlaps the next decode).
+        if prev_job is not None:
+            prev_job.finish()
+        prev_job = job
+    if prev_job is not None:
+        prev_job.finish()
+    dt = (time.perf_counter() - t0) / iters
+
+    xrt = audio_seconds / dt
+    suffix = "_align" if with_align else ""
+    if knobs["quant"]:
+        suffix += f"_{knobs['quant']}"
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"pipeline_audio_seconds_per_second_{knobs['model_name']}"
+                    f"_beam{knobs['beam']}{suffix}"
+                ),
+                "value": round(xrt, 2),
+                "unit": "x realtime (1 chip, full pipeline)",
+                "vs_baseline": round(xrt / 70.0, 3),
+                "chunks_per_iter": n_chunks,
+                "minutes": minutes,
+                "stages": {**pipe.telemetry.report(), **telemetry.GLOBAL.report()},
+            }
+        )
+    )
+
+
 def main():
     import jax  # noqa: F401
     import jax.numpy as jnp
@@ -225,4 +356,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_PIPELINE", "0") == "1":
+        main_pipeline()
+    else:
+        main()

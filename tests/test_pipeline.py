@@ -156,3 +156,20 @@ def test_prefix_option_reaches_engine(monkeypatch):
     monkeypatch.setattr(WhisperEngine, "generate", spy)
     p.transcribe(audio, batch_size=2)
     assert seen.get("prefix") == "the quick"
+
+
+def test_pipeline_kv_cache_dtype_threads_to_search_options():
+    """WhisperPipeline(kv_cache_dtype=...) must reach the decode SearchOptions
+    (load_model 'auto' pairs int8 weights with the int8 KV cache); the r4
+    production path silently ran bf16 KV regardless of compute_type."""
+    p = load_test_pipeline(language="en", beam_size=2)
+    p.kv_cache_dtype = "int8"
+    opts, _ = p._search_options(p.tokenizer)
+    assert opts.kv_cache_dtype == "int8"
+    # Burst audio so VAD yields chunks and the int8-KV decode actually runs.
+    sr = 16000
+    t = np.arange(3 * sr) / sr
+    audio = np.zeros(6 * sr, np.float32)
+    audio[sr : 4 * sr] = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    out = p.transcribe(audio, batch_size=2)
+    assert len(out["segments"]) >= 1

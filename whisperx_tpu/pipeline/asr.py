@@ -89,6 +89,7 @@ class WhisperPipeline:
         language: Optional[str] = None,
         suppress_numerals: bool = False,
         mesh: Any = None,
+        kv_cache_dtype: str = "model",
     ):
         self.engine = engine
         self.vad_model = vad
@@ -97,6 +98,10 @@ class WhisperPipeline:
         self.tokenizer = tokenizer
         self.preset_language = language
         self.suppress_numerals = suppress_numerals
+        # "model" keeps decode KV in the compute dtype; "int8"/"int4"
+        # quantize the cache (the on-chip flagship default is int8 — see
+        # bench.py / AB_RESULTS.json; token-parity tested in test_decode.py).
+        self.kv_cache_dtype = kv_cache_dtype
         self.model = engine.model
         # In-process multi-chip data parallelism: with a mesh, params are
         # placed once (replicated for DP, tensor-sharded where the partition
@@ -167,6 +172,7 @@ class WhisperPipeline:
             suppress_tokens=suppress,
             suppress_blank=opts.suppress_blank,
             without_timestamps=opts.without_timestamps,
+            kv_cache_dtype=self.kv_cache_dtype,
         ), engine
 
     def _feature_batches(self, audio: np.ndarray, chunks: List[dict], batch_size: int):
@@ -454,6 +460,7 @@ def load_model(
     checkpoint: Optional[str] = None,
     vad_checkpoint: Optional[str] = None,
     mesh: Any = "auto",
+    kv_cache_dtype: str = "auto",
 ) -> WhisperPipeline:
     """Build the transcription pipeline (reference load_model API, asr.py:259).
 
@@ -567,6 +574,11 @@ def load_model(
             **default_vad_options,
         )
 
+    if kv_cache_dtype == "auto":
+        # Quantized weights pair with the int8 KV cache (the A/B'd flagship
+        # default — halves decode's dominant HBM stream, token-parity
+        # tested); full-precision weights keep the model-dtype cache.
+        kv_cache_dtype = "int8" if compute_type in ("int8", "int4") else "model"
     return WhisperPipeline(
         engine=engine,
         params=params,
@@ -577,6 +589,7 @@ def load_model(
         language=language,
         suppress_numerals=suppress_numerals,
         mesh=mesh,
+        kv_cache_dtype=kv_cache_dtype,
     )
 
 
