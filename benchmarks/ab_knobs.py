@@ -60,6 +60,14 @@ CONFIGS = {
     "reorder-take": {"WHISPERX_REORDER": "take"},
     "reorder-onehot": {"WHISPERX_REORDER": "onehot"},
     "reorder-nocond": {"WHISPERX_REORDER_COND": "0"},
+    # r5: bucketed prefix-only cache reorder (default granule 32 since r5;
+    # "base" measures it). prefix-off restores the full-buffer gather,
+    # prefix-16 halves the bucket granule.
+    "prefix-off": {"WHISPERX_REORDER_PREFIX": "0"},
+    "prefix-16": {"WHISPERX_REORDER_PREFIX": "16"},
+    # r5: full production pipeline (VAD + host loop + align) — BENCH_PIPELINE
+    # mode; config name carries it so records are self-describing.
+    "pipeline-full": {"BENCH_PIPELINE": "1", "BENCH_PIPE_MINUTES": "10", "BENCH_ALIGN": "1"},
     # r4: experimental half-width storage (weights / KV).
     "quant-int4": {"BENCH_QUANT": "int4"},
     "kv-int4": {"BENCH_KV": "int4"},

