@@ -83,7 +83,7 @@ def test_best_of_picks_highest_avg_logprob_candidate():
         def __init__(self):
             self.batches = []
 
-        def generate(self, params, mel, options=None, initial_prompt=None, rng=None, sync=True):
+        def generate(self, params, mel, options=None, initial_prompt=None, prefix=None, rng=None, sync=True):
             B = mel.shape[0]
             assert options.temperature == 0.5 and options.beam_size == 1
             lps = [-2.0, -0.5, -1.5, -2.0][:B] + [-9.0] * max(0, B - 4)
