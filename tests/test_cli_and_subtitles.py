@@ -141,3 +141,54 @@ def test_subtitles_vtt_header(tmp_path):
     out = tmp_path / "o.vtt"
     proc.save(str(out))
     assert out.read_text().startswith("WEBVTT")
+
+def test_cli_align_hot_swap_finishes_in_flight_first(monkeypatch):
+    """On a detected-language switch, _align_stage must drain the previous
+    file's in-flight AlignJob (built on the old model) BEFORE loading the
+    replacement align model — no transient double model residency, warnings
+    ordered before the next file's header (r4 advisor finding)."""
+    import whisperx_tpu.cli as cli_mod
+    from whisperx_tpu.cli import CliConfig, FileJob
+
+    events = []
+
+    def fake_load_align_model(language, device, model_name=None, **kw):
+        events.append(("load", language))
+        return object(), {"language": language, "dictionary": {"a": 1}, "type": "jax"}
+
+    class FakeJob:
+        def __init__(self, path):
+            self.path = path
+
+        def finish(self):
+            events.append(("finish", self.path))
+            return {"segments": [], "word_segments": []}
+
+    def fake_align_begin(segments, model, meta, audio, device, **kw):
+        events.append(("begin", meta["language"]))
+        return FakeJob(meta["language"])
+
+    monkeypatch.setattr(cli_mod, "load_align_model", fake_load_align_model)
+    monkeypatch.setattr(cli_mod, "align_begin", fake_align_begin)
+
+    cfg = CliConfig(
+        files=["a.wav", "b.wav"], model_name="tiny", checkpoint=None,
+        model_dir=None, device="tpu", device_index=0, compute_type="int8",
+        batch_size=2, task="transcribe", language=None, align_language="en",
+        verbose=False, print_progress=False, threads=0, chunk_size=30,
+    )
+    jobs = [
+        FileJob("a.wav", result={"segments": [{"start": 0, "end": 1, "text": "x"}],
+                                 "language": "en"}, audio=np.zeros(16000, np.float32)),
+        FileJob("b.wav", result={"segments": [{"start": 0, "end": 1, "text": "x"}],
+                                 "language": "fr"}, audio=np.zeros(16000, np.float32)),
+    ]
+    cli_mod._align_stage(cfg, jobs)
+
+    assert events[0] == ("load", "en")
+    assert events[1] == ("begin", "en")
+    # The language switch must finish file a BEFORE loading the fr model.
+    assert events[2] == ("finish", "en"), events
+    assert events[3] == ("load", "fr"), events
+    assert events[4] == ("begin", "fr")
+    assert events[5] == ("finish", "fr")
