@@ -456,3 +456,23 @@ def test_pinned_key_resolution():
     assert pinned_key_for("large-v3") == "whisper-large-v3"
     assert pinned_key_for("facebook/wav2vec2-base-960h") == "wav2vec2-base-960h"
     assert pinned_key_for("my-finetuned-model") is None
+
+
+def test_load_model_auto_kv_resolution(tmp_path):
+    """load_model pairs int8 weights with the int8 KV cache ('auto'), keeps
+    model-dtype KV for full-precision weights, and honors an explicit
+    override — the plumbing that puts the A/B'd flagship default on the
+    production path (r5)."""
+    from whisperx_tpu.pipeline.asr import load_model
+
+    whisper_dir = _write_tiny_whisper_dir(tmp_path / "whisper-tiny-kv")
+
+    p8 = load_model("tiny", language="en", compute_type="int8", checkpoint=whisper_dir)
+    assert p8.kv_cache_dtype == "int8"
+    pf = load_model("tiny", language="en", compute_type="float32", checkpoint=whisper_dir)
+    assert pf.kv_cache_dtype == "model"
+    pex = load_model(
+        "tiny", language="en", compute_type="int8", checkpoint=whisper_dir,
+        kv_cache_dtype="int4",
+    )
+    assert pex.kv_cache_dtype == "int4"
