@@ -192,3 +192,40 @@ def test_cli_align_hot_swap_finishes_in_flight_first(monkeypatch):
     assert events[3] == ("load", "fr"), events
     assert events[4] == ("begin", "fr")
     assert events[5] == ("finish", "fr")
+
+def test_cli_diarize_end_to_end(tmp_path, monkeypatch):
+    """--diarize through the real stage functions (weight-free diarizer):
+    the output JSON carries speaker labels on segments/words."""
+    import json as _json
+
+    import whisperx_tpu.cli as cli_mod
+    from whisperx_tpu.align.alignment import test_align_model
+    from whisperx_tpu.audio.io import write_wav
+    from whisperx_tpu.pipeline.asr import load_test_pipeline
+
+    SR = 16000
+    # Two tone "speakers" with silence padding so the weight-free VAD and
+    # the diarizer's window scan both fire.
+    audio = np.zeros(8 * SR, np.float32)
+    tb = np.arange(3 * SR) / SR
+    audio[SR : 4 * SR] = (0.4 * np.sin(2 * np.pi * 210 * tb) * (1 + 0.4 * np.sin(2 * np.pi * 3 * tb))).astype(np.float32)
+    audio[5 * SR : 8 * SR] = (0.4 * np.sin(2 * np.pi * 1200 * tb) * (1 + 0.4 * np.sin(2 * np.pi * 3 * tb))).astype(np.float32)
+    wav_path = str(tmp_path / "meet.wav")
+    write_wav(wav_path, audio)
+
+    monkeypatch.setattr(cli_mod, "load_model", lambda *a, **k: load_test_pipeline(language="en"))
+
+    def fake_load_align_model(language, device, model_name=None, **kw):
+        m = test_align_model(language or "en")
+        return m, {"language": language or "en", "dictionary": m.dictionary, "type": "jax"}
+
+    monkeypatch.setattr(cli_mod, "load_align_model", fake_load_align_model)
+
+    cli_mod.cli([wav_path, "--model", "tiny", "--output_dir", str(tmp_path),
+                 "--output_format", "json", "--language", "en", "--batch_size", "2",
+                 "--diarize", "--min_speakers", "1", "--max_speakers", "2",
+                 "--verbose", "False"])
+    data = _json.loads((tmp_path / "meet.json").read_text())
+    assert "segments" in data
+    speakered = [s for s in data["segments"] if "speaker" in s]
+    assert speakered, "no segment carried a speaker label"
