@@ -233,13 +233,19 @@ def _gather_cache(self_cache, flat_idx, valid_len=None):
 
 def _prefix_granule() -> int:
     """T-bucket granule for the prefix-bounded cache reorder (trace-time env
-    knob WHISPERX_REORDER_PREFIX: 0 disables, default 32). At the flagship
-    shape (cache T=128, valid rows 4..116 over 112 steps) granule 32 gathers
-    an average ~77 of 128 rows — ~40% of the reorder's HBM traffic skipped
-    for exactly the same result (unwritten rows are zero in every lane)."""
+    knob WHISPERX_REORDER_PREFIX; 0 = full-buffer gather, the DEFAULT).
+
+    Measured a clear LOSER on chip despite moving ~40% fewer logical bytes:
+    forced-reorder step probe 9.77 ms vs the plain gather's 5.05, end-to-end
+    paired A/B 115.6x vs 150.6x decode-only (benchmarks/AB_RESULTS.json
+    r5-step-probe + prefix-off records). The lax.switch branches return a
+    dynamic_update_slice of the carried cache, and XLA materializes a full
+    cache copy on top of the gather — the same carry-copy failure mode that
+    killed the lax.cond identity bypass and the backptr history. Kept as an
+    opt-in knob so the negative result stays reproducible."""
     import os
 
-    v = os.environ.get("WHISPERX_REORDER_PREFIX", "32")
+    v = os.environ.get("WHISPERX_REORDER_PREFIX", "0")
     return int(v)
 
 
