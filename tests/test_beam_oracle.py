@@ -285,3 +285,34 @@ def test_engine_prefix_threading():
     assert prompt.shape == (2, base.shape[1] + len(pt))
     assert prompt[0, -len(pt):].tolist() == list(pt)
     assert prompt[0, : base.shape[1]].tolist() == base[0].tolist()
+
+
+def test_engine_initial_prompt_structure():
+    """build_prompt(initial_prompt=...) follows the reference contract
+    (asr.py:40-45 via faster-whisper get_prompt): sot_prev + the LAST
+    n_text_ctx//2 - 1 tokens of the encoded prompt, then the sot sequence;
+    the prefix (if any) comes after the sot sequence."""
+    _, engine, _ = _build(vocab=100, seed=0)
+    tok = engine.tokenizer
+    limit = engine.config.n_text_ctx // 2 - 1
+
+    prompt = engine.build_prompt(1, initial_prompt="hello world")
+    row = prompt[0].tolist()
+    assert row[0] == tok.sot_prev
+    enc = tok.encode(" hello world")[-limit:]
+    assert row[1 : 1 + len(enc)] == list(enc)
+    sot_seq = tok.sot_sequence(without_timestamps=True)
+    assert row[1 + len(enc) :] == list(sot_seq)
+
+    # long prompt truncates keeping the LAST tokens
+    long_text = "x" * 300
+    row = engine.build_prompt(1, initial_prompt=long_text)[0].tolist()
+    enc_long = tok.encode(" " + long_text)[-limit:]
+    assert len(enc_long) == limit
+    assert row[1 : 1 + limit] == list(enc_long)
+
+    # initial_prompt + prefix compose: [sot_prev, prompt..., sot_seq..., prefix...]
+    pt = engine.prefix_tokens("ok")
+    row = engine.build_prompt(1, initial_prompt="hello", prefix_tokens=pt)[0].tolist()
+    assert row[-len(pt):] == list(pt)
+    assert row[-len(pt) - len(sot_seq) : -len(pt)] == list(sot_seq)
