@@ -128,6 +128,10 @@ def main_pipeline():
     minutes = float(os.environ.get("BENCH_PIPE_MINUTES", "10"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     with_align = os.environ.get("BENCH_ALIGN", "1") == "1"
+    # BENCH_DIARIZE=1 appends the diarization stage (weight-free embedder +
+    # clustering + word-speaker assignment) to each iteration — the complete
+    # reference workload (`--diarize`) in one measured loop.
+    with_diarize = os.environ.get("BENCH_DIARIZE", "0") == "1"
 
     eot = engine.tokenizer.layout.eot
     pipe = WhisperPipeline(
@@ -159,6 +163,12 @@ def main_pipeline():
         text = " " + " ".join(words * 4)[:400]
         align_meta = {"language": "en", "dictionary": align_model.dictionary, "type": "jax"}
 
+    diarizer = None
+    if with_diarize:
+        from whisperx_tpu.diarize import DiarizationPipeline, assign_word_speakers
+
+        diarizer = DiarizationPipeline()
+
     def run():
         result = pipe.transcribe(audio, batch_size=knobs["batch"])
         job = None
@@ -169,6 +179,11 @@ def main_pipeline():
             # engine-only bench uses).
             segs = [dict(s, text=text) for s in result["segments"]]
             job = align_begin(segs, align_model, align_meta, audio)
+        if diarizer is not None:
+            turns = diarizer(audio, min_speakers=1, max_speakers=4)
+            aligned = job.finish() if job is not None else result
+            assign_word_speakers(turns, aligned)
+            job = None
         return result, job
 
     result, job = run()  # compile (excluded)
@@ -194,6 +209,8 @@ def main_pipeline():
 
     xrt = audio_seconds / dt
     suffix = "_align" if with_align else ""
+    if with_diarize:
+        suffix += "_diarize"
     if knobs["quant"]:
         suffix += f"_{knobs['quant']}"
     print(
