@@ -202,3 +202,30 @@ def test_diarize_mesh_matches_single_device():
 
     assert len(sharded) > 0
     assert sharded[["start", "end", "speaker"]].equals(base[["start", "end", "speaker"]])
+
+
+def test_sharded_int8_kv_decode_matches_single_device():
+    """int8 KV cache (the production flagship default, now threaded through
+    load_model kv_cache_dtype='auto') under the mesh: the quantized cache +
+    per-(token, head) scale planes shard on 'data' with the B*K beam axis
+    and must reproduce the single-device decode exactly — including the
+    in-loop cache reorder gathers over the sharded buffers."""
+    from whisperx_tpu.models.whisper import quantize_whisper
+
+    model, params = init_whisper_params(TEST_CONFIG, seed=0)
+    qmodel, qparams = quantize_whisper(model, params)
+    tokenizer = WhisperTokenizer.dummy(TEST_CONFIG.n_vocab, language="en")
+    engine = WhisperEngine(qmodel, tokenizer)
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((4, 80, 3000)).astype(np.float32) * 0.5
+    opts = engine.build_options(beam_size=3, max_new_tokens=6, kv_cache_dtype="int8")
+
+    base = engine.generate(qparams, mel, options=opts)
+
+    mesh = make_mesh(n_model=2)
+    sharded_params = shard_params(qparams, mesh)
+    with jax.set_mesh(mesh):
+        sharded = engine.generate(sharded_params, shard_batch(mesh, mel), options=opts)
+
+    np.testing.assert_array_equal(base.tokens, sharded.tokens)
+    np.testing.assert_allclose(base.sum_logprobs, sharded.sum_logprobs, atol=1e-3)
