@@ -86,3 +86,26 @@ def test_global_telemetry_covers_align_and_diarize():
     report = telemetry.GLOBAL.report()
     assert report["align"]["calls"] == 1 and report["align"]["audio_seconds"] == 2.0
     assert report["diarize"]["calls"] == 1 and report["diarize"]["audio_seconds"] == 7.0
+
+
+def test_roofline_traffic_model():
+    """benchmarks/roofline.py arithmetic: flagship int8 numbers match the
+    hand-derived accounting cited in AB_RESULTS (0.8 weights / 0.98 cross /
+    0.42 self GB per step), and int4 halves every stream."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from benchmarks.roofline import flagship_traffic
+
+    t8 = flagship_traffic(model_name="large-v2", batch=8, beam=5, max_new=112,
+                          quant="int8", kv="int8")
+    assert t8["cache_T"] == 128
+    assert abs(t8["weights_gb_per_step"] - 0.80) < 0.02
+    assert abs(t8["cross_kv_gb_per_step"] - 0.98) < 0.02
+    assert abs(t8["self_kv_gb_per_step"] - 0.42) < 0.02
+
+    t4 = flagship_traffic(model_name="large-v2", batch=8, beam=5, max_new=112,
+                          quant="int4", kv="int4")
+    for k in ("weights_gb_per_step", "cross_kv_gb_per_step", "self_kv_gb_per_step"):
+        assert abs(t4[k] - t8[k] / 2) < 1e-3, k  # rounded to 3dp in the report
